@@ -1,13 +1,432 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{feature, duckRound, FeatureParams}
+import graft.operators.{AnnOps, DedupOps, SignalOps, TextOps}
+import graft.engine.Rollup
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), DuckDB-equivalent SQL in `oracleSql` where the operator
+  * is ANSI-SQL-expressible. Column names and duckRound(, 6) quantization are
+  * kept identical on both sides so the driver's sorted-column value hash
+  * matches (floats agree to ~1e-12 between engines; rounding removes the
+  * residue).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  private val P = FeatureParams() // sfreq=256, scale=1 (events are floats)
+
+  private def sig(s: SparkSession, dir: String): DataFrame =
+    SignalOps.eventSignals(s, dir).where(size(col("signal")) >= 8)
+
+  private def f(name: String, p: FeatureParams = P)(c: Column): Column =
+    feature(name, c, p)
+
+  /** events + integer-cents quantized value column (exact aggregation). */
+  private def centsEvents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("c", duckRound(col("value") * 100, 0).cast("long"))
+
+  /** Flagship: headline features per user + 1h tier rollup, sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    sig(spark, dir).select(col("user_id"),
+      f("mean")(col("signal")).as("mean"),
+      f("variance")(col("signal")).as("variance"),
+      f("line_length")(col("signal")).as("line_length"),
+      f("hjorth_mobility")(col("signal")).as("hjorth_mobility"),
+      f("hjorth_complexity")(col("signal")).as("hjorth_complexity"),
+      f("spect_entropy")(col("signal")).as("spect_entropy"),
+      f("higuchi_fd")(col("signal")).as("higuchi_fd"))
+  }
+
+  // ---- per-user scalar feature queries (DuckDB-gated) ---------------------
+
+  private def scalarQ(name: String, outCol: String): (SparkSession, String) => DataFrame =
+    (s, dir) => sig(s, dir)
+      .select(col("user_id"), duckRound(f(name)(col("signal")), 6).as(outCol))
+      .orderBy("user_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mean" -> scalarQ("mean", "mean"),
+    "q_variance" -> scalarQ("variance", "variance"),
+    "q_std" -> scalarQ("std", "std"),
+    "q_rms" -> scalarQ("rms", "rms"),
+    "q_ptp_amp" -> scalarQ("ptp_amp", "ptp_amp"),
+    "q_skewness" -> scalarQ("skewness", "skewness"),
+    "q_kurtosis" -> scalarQ("kurtosis", "kurtosis"),
+    "q_hjorth_mobility" -> scalarQ("hjorth_mobility", "hjorth_mobility"),
+    "q_hjorth_complexity" -> scalarQ("hjorth_complexity", "hjorth_complexity"),
+    "q_katz_fd" -> scalarQ("katz_fd", "katz_fd"),
+    "q_line_length" -> scalarQ("line_length", "line_length"),
+
+    "q_quantile" -> ((s, dir) => {
+      val qcol = f("quantile", P.copy(qs = Seq(0.25, 0.75)))(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(qcol, 1), 6).as("q25"),
+        duckRound(element_at(qcol, 2), 6).as("q75")).orderBy("user_id")
+    }),
+
+    "q_zero_crossings" -> ((s, dir) =>
+      sig(s, dir).select(col("user_id"),
+        f("zero_crossings")(SignalOps.diffArray(col("signal")))
+          .as("zero_crossings")).orderBy("user_id")),
+
+    // ---- retention tiers over (event_type, tumbling window) --------------
+    // Tier aggregation runs on integer-quantized samples (cents), so the
+    // partial sums are exact integers and the result is identical under
+    // ANY aggregation topology (direct, cascaded, salted) — the same
+    // order-independence argument as the token-quantization convention
+    // (FIXTURES.md par.2).
+    "q_tier_1h" -> ((s, dir) => {
+      val ev = centsEvents(s, dir)
+      ev.groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"),
+          min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+        .select(col("event_type"), unix_timestamp(col("w.start")).as("bucket_s"),
+          col("n"), (col("sc").cast("double") / col("n") / 100.0).as("mean"),
+          (col("cmin").cast("double") / 100.0).as("vmin"),
+          (col("cmax").cast("double") / 100.0).as("vmax"),
+          (sqrt(col("scc").cast("double") / col("n")) / 100.0).as("rms"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
+    // continuous-aggregate cascade: 1m partials merged to 1h (exactness of
+    // the partial-merge is the point; oracle computes 1h directly)
+    "q_tier_1h_cascade" -> ((s, dir) => {
+      val ev = centsEvents(s, dir)
+      val m1 = Rollup.partials(ev, Seq("event_type"), "ts", "c", "1 minute")
+      val h1 = Rollup.merge(m1, Seq("event_type"), "1 hour")
+      h1.select(col("event_type"), unix_timestamp(col("bucket")).as("bucket_s"),
+        col("p_n").as("n"),
+        (col("p_sum").cast("double") / col("p_n") / 100.0).as("mean"),
+        (sqrt(col("p_sumsq").cast("double") / col("p_n")) / 100.0).as("rms"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
+    // salted two-stage aggregation must equal the direct plan bit-for-bit
+    "q_tier_1h_salted" -> ((s, dir) => {
+      val ev = centsEvents(s, dir)
+      val h1 = Rollup.saltedPartials(ev, Seq("event_type"), "ts", "c", "1 hour", 8)
+      h1.select(col("event_type"), unix_timestamp(col("bucket")).as("bucket_s"),
+        col("p_n").as("n"),
+        (col("p_sum").cast("double") / col("p_n") / 100.0).as("mean"),
+        (col("p_min").cast("double") / 100.0).as("vmin"),
+        (col("p_max").cast("double") / 100.0).as("vmax"),
+        (sqrt(col("p_sumsq").cast("double") / col("p_n")) / 100.0).as("rms"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
+    // holistic tier: features over the day-concatenated window signal
+    "q_tier_1d" -> ((s, dir) =>
+      SignalOps.bucketSignals(s, dir, "1 day")
+        .where(size(col("signal")) >= 8)
+        .select(col("event_type"), col("bucket_s"),
+          duckRound(f("mean")(col("signal")), 6).as("mean"),
+          duckRound(f("variance")(col("signal")), 6).as("variance"),
+          duckRound(f("line_length")(col("signal")), 6).as("line_length"))
+        .orderBy("event_type", "bucket_s")),
+
+    // LOCF gap-fill on the dense hourly grid
+    "q_gapfill_1h" -> ((s, dir) => {
+      val ev = centsEvents(s, dir)
+      val agg = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(col("c")).cast("double") / count(lit(1)) / 100.0).as("mean"))
+      Rollup.gapFillLocf(agg, Seq("event_type"), "bucket", Seq("mean"), "1 hour")
+        .select(col("event_type"), unix_timestamp(col("bucket")).as("bucket_s"),
+          col("mean_locf"), col("filled"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
+    // ---- spectral / nonlinear features (no ANSI-SQL equivalent:
+    //      rows-only driver check; exact parity covered by ScalaTest) ------
+    "q_spect_entropy" -> scalarQ("spect_entropy", "spect_entropy"),
+    "q_higuchi_fd" -> scalarQ("higuchi_fd", "higuchi_fd"),
+    "q_hurst_exp" -> scalarQ("hurst_exp", "hurst_exp"),
+    "q_app_entropy" -> scalarQ("app_entropy", "app_entropy"),
+    "q_samp_entropy" -> scalarQ("samp_entropy", "samp_entropy"),
+    "q_svd_entropy" -> scalarQ("svd_entropy", "svd_entropy"),
+    "q_svd_fisher_info" -> scalarQ("svd_fisher_info", "svd_fisher_info"),
+    "q_decorr_time" -> scalarQ("decorr_time", "decorr_time"),
+    "q_hjorth_mobility_spect" -> scalarQ("hjorth_mobility_spect", "hjorth_mobility_spect"),
+    "q_hjorth_complexity_spect" -> scalarQ("hjorth_complexity_spect", "hjorth_complexity_spect"),
+
+    "q_pow_freq_bands" -> ((s, dir) => {
+      val v = f("pow_freq_bands")(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 1), 6).as("band0"),
+        duckRound(element_at(v, 2), 6).as("band1"),
+        duckRound(element_at(v, 3), 6).as("band2"),
+        duckRound(element_at(v, 4), 6).as("band3"),
+        duckRound(element_at(v, 5), 6).as("band4")).orderBy("user_id")
+    }),
+    "q_spect_slope" -> ((s, dir) => {
+      val v = f("spect_slope")(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 1), 6).as("intercept"),
+        duckRound(element_at(v, 2), 6).as("slope"),
+        duckRound(element_at(v, 3), 6).as("mse"),
+        duckRound(element_at(v, 4), 6).as("r2")).orderBy("user_id")
+    }),
+    "q_spect_edge_freq" -> ((s, dir) => {
+      val v = f("spect_edge_freq", P.copy(edges = Seq(0.5, 0.9)))(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 1), 6).as("edge50"),
+        duckRound(element_at(v, 2), 6).as("edge90")).orderBy("user_id")
+    }),
+    "q_energy_freq_bands" -> ((s, dir) => {
+      val v = f("energy_freq_bands")(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 1), 6).as("band0"),
+        duckRound(element_at(v, 5), 6).as("band4")).orderBy("user_id")
+    }),
+    "q_wavelet_coef_energy" -> ((s, dir) => {
+      val v = f("wavelet_coef_energy")(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 1), 6).as("d1_energy"),
+        duckRound(element_at(v, 2), 6).as("d2_energy")).orderBy("user_id")
+    }),
+    "q_teager_kaiser_energy" -> ((s, dir) => {
+      val v = f("teager_kaiser_energy")(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 1), 6).as("l0_mean"),
+        duckRound(element_at(v, 2), 6).as("l0_std")).orderBy("user_id")
+    }),
+
+    // ---- training-data pipeline ops (documents / embeddings) -------------
+    "q_doc_token_count" -> ((s, dir) =>
+      TextOps.tokenCount(TextOps.docs(s, dir)).orderBy("doc_id")),
+    "q_doc_quality" -> ((s, dir) =>
+      TextOps.quality(TextOps.docs(s, dir)).orderBy("doc_id")),
+    "q_doc_langid" -> ((s, dir) =>
+      TextOps.langId(TextOps.docs(s, dir)).orderBy("doc_id")),
+    "q_doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(TextOps.docs(s, dir)).orderBy("doc_id")),
+    "q_dedup_exact" -> ((s, dir) =>
+      DedupOps.exact(TextOps.docs(s, dir)).orderBy("text_hash")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      DedupOps.minhashCandidates(TextOps.docs(s, dir), 0.2)
+        .orderBy("doc_a", "doc_b")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhashSignatures(TextOps.docs(s, dir)).orderBy("doc_id")),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardAdjacent(TextOps.docs(s, dir)).orderBy("doc_a")),
+    "q_ann_cosine_top1" -> ((s, dir) =>
+      AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
+        .select(col("query_id"), col("nn_id"), col("cos_sim"))
+        .orderBy("query_id")),
+    "q_ann_ivf_top1" -> ((s, dir) =>
+      AnnOps.ivfTop1(AnnOps.embeddings(s, dir)).orderBy("query_id")),
+    "q_embed_near_dup" -> ((s, dir) =>
+      DedupOps.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.5)
+        .orderBy("id_a", "id_b"))
+  )
+
+  // ---- DuckDB oracles (developed & validated in tools/oracles.py) --------
+
+  private val W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_mean" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8)
+         SELECT user_id, round(list_sum(l) / len(l), 6) AS mean FROM g ORDER BY user_id""",
+    "q_variance" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         m AS (SELECT user_id, l, len(l) AS n, list_sum(l) / len(l) AS mu FROM g)
+         SELECT user_id, round(list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / (n - 1), 6) AS variance
+         FROM m ORDER BY user_id""",
+    "q_std" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         m AS (SELECT user_id, l, len(l) AS n, list_sum(l) / len(l) AS mu FROM g)
+         SELECT user_id, round(sqrt(list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / (n - 1)), 6) AS std
+         FROM m ORDER BY user_id""",
+    "q_rms" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8)
+         SELECT user_id, round(sqrt(list_sum(list_transform(l, x -> x * x)) / len(l)), 6) AS rms
+         FROM g ORDER BY user_id""",
+    "q_ptp_amp" ->
+      """SELECT user_id, round(max(value) - min(value), 6) AS ptp_amp
+         FROM events GROUP BY user_id HAVING count(*) >= 8 ORDER BY user_id""",
+    "q_skewness" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         m AS (SELECT user_id, l, len(l) AS n, list_sum(l) / len(l) AS mu FROM g)
+         SELECT user_id, round(
+           (list_sum(list_transform(l, x -> (x - mu) * (x - mu) * (x - mu))) / n)
+           / ((list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / n) ^ 1.5), 6) AS skewness
+         FROM m ORDER BY user_id""",
+    "q_kurtosis" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         m AS (SELECT user_id, l, len(l) AS n, list_sum(l) / len(l) AS mu FROM g)
+         SELECT user_id, round(
+           (list_sum(list_transform(l, x -> (x - mu) * (x - mu) * (x - mu) * (x - mu))) / n)
+           / ((list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / n)
+            * (list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / n)), 6) AS kurtosis
+         FROM m ORDER BY user_id""",
+    "q_quantile" ->
+      """SELECT user_id, round(quantile_cont(value, 0.25), 6) AS q25,
+                round(quantile_cont(value, 0.75), 6) AS q75
+         FROM events GROUP BY user_id HAVING count(*) >= 8 ORDER BY user_id""",
+    "q_line_length" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8)
+         SELECT user_id, round(list_sum(list_transform(range(1, len(l)), i -> abs(l[i+1] - l[i]))) / (len(l) - 1), 6) AS line_length
+         FROM g ORDER BY user_id""",
+    "q_zero_crossings" ->
+      s"""WITH d AS (
+            SELECT user_id, value - lag(value) OVER ($W) AS d, ts, event_id FROM events),
+          s AS (
+            SELECT user_id, CASE WHEN abs(d) < 2.220446049250313e-16 THEN 0
+                                 WHEN d > 0 THEN 1 ELSE -1 END AS sg,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM d WHERE d IS NOT NULL),
+          p AS (
+            SELECT user_id, sg, lag(sg) OVER (PARTITION BY user_id ORDER BY rn) AS prev, rn
+            FROM s)
+          SELECT user_id, CAST(
+              sum(CASE WHEN rn = 1 AND sg = 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN prev IS NOT NULL AND sg = 0 AND prev <> 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN prev IS NOT NULL AND sg * prev < 0 THEN 1 ELSE 0 END)
+            AS DOUBLE) AS zero_crossings
+          FROM p GROUP BY user_id HAVING count(*) >= 7 ORDER BY user_id""",
+    "q_hjorth_mobility" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         l1 AS (SELECT user_id, list_prepend(0.0::DOUBLE, l) AS p, len(l) AS n FROM g),
+         l2 AS (SELECT user_id, n, p, list_transform(range(1, n + 1), i -> p[i+1] - p[i]) AS d FROM l1),
+         m AS (SELECT user_id, n, p, d, list_sum(p) / (n + 1) AS mp, list_sum(d) / n AS md FROM l2)
+         SELECT user_id, round(
+             sqrt(list_sum(list_transform(d, x -> (x - md) * (x - md))) / (n - 1))
+           / sqrt(list_sum(list_transform(p, x -> (x - mp) * (x - mp))) / n), 6) AS hjorth_mobility
+         FROM m ORDER BY user_id""",
+    "q_hjorth_complexity" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         l1 AS (SELECT user_id, list_prepend(0.0::DOUBLE, l) AS p, len(l) AS n FROM g),
+         l2 AS (SELECT user_id, n, p, list_transform(range(1, n + 1), i -> p[i+1] - p[i]) AS d FROM l1),
+         l3 AS (SELECT user_id, n, p, d, list_prepend(0.0::DOUBLE, d) AS dp FROM l2),
+         l4 AS (SELECT user_id, n, p, d, dp, list_transform(range(1, n + 1), i -> dp[i+1] - dp[i]) AS e FROM l3),
+         m AS (SELECT user_id, n, p, d, dp, e,
+               list_sum(p) / (n + 1) AS mp, list_sum(d) / n AS md,
+               list_sum(dp) / (n + 1) AS mdp, list_sum(e) / n AS me FROM l4)
+         SELECT user_id, round(
+             (sqrt(list_sum(list_transform(e, x -> (x - me) * (x - me))) / (n - 1))
+            / sqrt(list_sum(list_transform(dp, x -> (x - mdp) * (x - mdp))) / n))
+           / (sqrt(list_sum(list_transform(d, x -> (x - md) * (x - md))) / (n - 1))
+            / sqrt(list_sum(list_transform(p, x -> (x - mp) * (x - mp))) / n)), 6) AS hjorth_complexity
+         FROM m ORDER BY user_id""",
+    "q_katz_fd" ->
+      """WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id HAVING count(*) >= 8),
+         a AS (SELECT user_id,
+                 list_sum(list_transform(range(1, len(l)), i -> abs(l[i+1] - l[i]))) AS ll,
+                 len(l) - 1 AS nd,
+                 list_max(list_transform(l[2:], x -> abs(x - l[1]))) AS d
+               FROM g)
+         SELECT user_id, round(log10(ll / (ll / nd)) / (log10(ll / (ll / nd)) + log10(d / ll)), 6) AS katz_fd
+         FROM a ORDER BY user_id""",
+    "q_tier_1h" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean,
+           CAST(min(c) AS DOUBLE) / 100.0 AS vmin, CAST(max(c) AS DOUBLE) / 100.0 AS vmax,
+           sqrt(CAST(sum(c * c) AS DOUBLE) / count(*)) / 100.0 AS rms
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tier_1h_cascade" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean,
+           sqrt(CAST(sum(c * c) AS DOUBLE) / count(*)) / 100.0 AS rms
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tier_1h_salted" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean,
+           CAST(min(c) AS DOUBLE) / 100.0 AS vmin, CAST(max(c) AS DOUBLE) / 100.0 AS vmax,
+           sqrt(CAST(sum(c * c) AS DOUBLE) / count(*)) / 100.0 AS rms
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tier_1d" ->
+      """WITH g AS (SELECT event_type, date_trunc('day', ts) AS b,
+                    list(value ORDER BY ts, event_id) AS l
+             FROM events GROUP BY 1, 2 HAVING count(*) >= 8),
+         m AS (SELECT event_type, b, l, len(l) AS n, list_sum(l) / len(l) AS mu FROM g)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s,
+           round(mu, 6) AS mean,
+           round(list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / (n - 1), 6) AS variance,
+           round(list_sum(list_transform(range(1, n), i -> abs(l[i+1] - l[i]))) / (n - 1), 6) AS line_length
+         FROM m ORDER BY 1, 2""",
+    "q_gapfill_1h" ->
+      """WITH agg AS (
+           SELECT event_type, date_trunc('hour', ts) AS b,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS mean
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
+         grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds),
+         joined AS (
+           SELECT g.event_type, g.b, a.mean FROM grid g
+           LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s,
+           last_value(mean IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_locf,
+           CASE WHEN mean IS NULL THEN 1 ELSE 0 END AS filled
+         FROM joined ORDER BY 1, 2""",
+    "q_doc_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m
+         FROM documents ORDER BY doc_id""",
+    "q_doc_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+           round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS chars_per_word
+         FROM documents ORDER BY doc_id""",
+    "q_doc_langid" ->
+      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+         sc AS (SELECT doc_id,
+           ((length(t) - length(replace(t, ' the ', ''))) / 5
+          + (length(t) - length(replace(t, ' and ', ''))) / 5)::BIGINT AS s_en,
+           ((length(t) - length(replace(t, ' der ', ''))) / 5
+          + (length(t) - length(replace(t, ' und ', ''))) / 5)::BIGINT AS s_de,
+           ((length(t) - length(replace(t, ' le ', ''))) / 4
+          + (length(t) - length(replace(t, ' et ', ''))) / 4)::BIGINT AS s_fr,
+           ((length(t) - length(replace(t, ' el ', ''))) / 4
+          + (length(t) - length(replace(t, ' y ', ''))) / 3)::BIGINT AS s_es
+         FROM s)
+         SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang,
+           greatest(s_en, s_de, s_fr, s_es) AS score
+         FROM sc ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
+           min(doc_id) AS keep_doc_id
+         FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    "q_ann_cosine_top1" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),
+         sims AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                  list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+           FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, nn_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
+           FROM sims)
+         SELECT query_id, nn_id, round(sim, 5) AS cos_sim FROM ranked WHERE rk = 1
+         ORDER BY query_id"""
+  )
 }

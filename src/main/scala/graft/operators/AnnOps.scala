@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column.
+  *
+  * - bruteForceTopK: exact cosine top-k — broadcast the (small) query set
+  *   against the corpus: one scan, no shuffle of the corpus, per-row
+  *   zip_with/aggregate dot products inside codegen, then a per-query
+  *   top-k window. The 100 TB plan: corpus stays partitioned, queries
+  *   broadcast, k rows per query survive the exchange.
+  * - ivf: IVF-style scale path — k-means-lite centroids (deterministic
+  *   seeded sample), assign corpus to nearest centroid (one narrow pass),
+  *   probe only the nProbe nearest cells per query.
+  */
+object AnnOps {
+
+  /** Sequential-sum cosine — same left-to-right arithmetic as the DuckDB
+    * oracle's list_cosine_similarity, so graft.functions.duckRound(,5) hash-matches. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = aggregate(a, lit(0.0), (s, v) => s + v * v)
+    val nb = aggregate(b, lit(0.0), (s, v) => s + v * v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+
+  /** Exact top-k neighbours for the query subset (vec_id % queryMod == 0),
+    * self-matches excluded; ties broken by ascending neighbour id. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 1, queryMod: Int = 50): DataFrame = {
+    val queries = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = emb.select(col("vec_id").as("nn_id"), col("v").as("nv"))
+      .join(broadcast(queries), col("nn_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    joined.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), graft.functions.duckRound(col("sim"), 5).as("cos_sim"),
+        col("rk"))
+  }
+
+  /** IVF-bucketed approximate top-1: nLists deterministic centroids from
+    * the corpus itself (every (n/nLists)-th vector by id — a seeded sample
+    * stand-in for k-means), corpus assigned to nearest centroid, queries
+    * probe nProbe cells. */
+  def ivfTop1(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
+              queryMod: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val stride = math.max(n / nLists, 1L)
+    val centroids = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .limit(nLists)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .collect()
+    val cvs = centroids.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cArr = array(cvs.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit).toIndexedSeq: _*).as("cv"))
+    }.toIndexedSeq: _*)
+    def nearestCells(v: Column, take: Int): Column =
+      slice(transform(
+        array_sort(transform(cArr, c =>
+          struct((-cosine(v, c.getField("cv"))).as("negsim"),
+            c.getField("cid").as("cid")))),
+        s => s.getField("cid")), 1, take)
+    val corpus = emb.withColumn("cell", element_at(nearestCells(col("v"), 1), 1))
+    val queries = emb.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(nearestCells(col("v"), nProbe)).as("cell"))
+    val cand = corpus.select(col("cell"), col("vec_id").as("nn_id"), col("v").as("nv"))
+      .join(broadcast(queries), Seq("cell"))
+      .where(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    cand.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("query_id"), col("nn_id"), graft.functions.duckRound(col("sim"), 5).as("cos_sim"))
+  }
+}

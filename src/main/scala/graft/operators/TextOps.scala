@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token counting,
+  * quality scoring, n-gram language ID, fingerprinting. All built from
+  * codegen'd built-ins (no UDFs) so they pipeline inside WholeStageCodegen
+  * over the parquet scan.
+  */
+object TextOps {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token count + char count. */
+  def tokenCount(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+
+  /** Quality heuristics: length, word count, punctuation density,
+    * chars-per-word (the mean-word-length proxy). */
+  def quality(df: DataFrame): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+"))
+    df.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      words.cast("long").as("n_words"),
+      graft.functions.duckRound(length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+        .cast("double") / length(col("text")), 6).as("punct_ratio"),
+      graft.functions.duckRound(length(col("text")).cast("double") / words, 6).as("chars_per_word"))
+  }
+
+  /** Stopword-frequency language ID: score per language = occurrences of
+    * its marker words; argmax with fixed precedence on ties. Deterministic
+    * and SQL-expressible (the DuckDB oracle replicates it verbatim).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "fr" -> Seq(" le ", " et "),
+    "es" -> Seq(" el ", " y "))
+
+  def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
+      lit(needle.length)).cast("long")
+
+  def langId(df: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = LangMarkers.map { case (lang, kws) =>
+      lang -> kws.map(k => occurrences(padded, k)).reduce(_ + _)
+    }
+    val scored = scores.foldLeft(df.select(col("doc_id"), col("text"))) {
+      case (d, (lang, c)) => d.withColumn(s"score_$lang", c)
+    }
+    // argmax with precedence = declaration order (strict > comparisons)
+    val best = scores.map(_._1).foldLeft((lit("und"), lit(-1L))) {
+      case ((bl, bs), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scored.select(col("doc_id"), best._1.as("pred_lang"), best._2.cast("long").as("score"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over whitespace tokens (mod a
+    * 31-bit prime — overflow-free in both int64 engines). */
+  def fingerprint(df: DataFrame): DataFrame = {
+    val p = 2147483629L // prime < 2^31
+    val b = 131L
+    df.select(col("doc_id"),
+      aggregate(split(trim(col("text")), "\\s+"),
+        lit(0L),
+        (acc, w) => pmod(acc * b + pmod(hash(w).cast("long"), lit(p)), lit(p)))
+        .as("fingerprint"))
+  }
+}
