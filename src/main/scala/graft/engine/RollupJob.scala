@@ -1,0 +1,133 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{dod_encode, gorilla_encode, FeatureParams}
+import graft.table.TableIO
+
+/** The spark-submit entry for the tiered rollup: token table in, per-tier
+  * feature points + Gorilla/DoD-compressed chunks out, with manifest
+  * commits per (tier, day-bucket) enabling checkpoint-resumable
+  * incremental re-aggregation.
+  *
+  * - Commit unit = UTC day; resume = days absent from the manifest
+  *   (idempotent: immutable snapshot dirs + last-commit-wins).
+  * - Every tier row stores BOTH the finalized features and the mergeable
+  *   state struct `P`, so a resumed run cascades from committed points
+  *   without touching raw data — the incremental re-aggregation the
+  *   north rule asks for.
+  * - Lineage rows per (tier, day): rows/tokens in, points out, checksum.
+  * - Compressed chunks: per (source, day) the bucket timestamps are
+  *   delta-of-delta coded and each feature series Gorilla-coded.
+  */
+object RollupJob {
+
+  final case class Conf(
+      tableRoot: String,
+      scale: Double = 1.0 / (1 << 24),
+      tiers: Seq[(String, String)] = Seq("1m" -> "1 minute", "1h" -> "1 hour",
+        "1d" -> "1 day"),
+      chunkFeatures: Seq[String] = Seq("mean", "variance", "line_length",
+        "hjorth_mobility", "hjorth_complexity"),
+      jobId: String = "rollup")
+
+  final case class TierResult(tier: String, newDays: Seq[Long], points: Long)
+
+  private def dayOf(c: org.apache.spark.sql.Column) =
+    unix_timestamp(date_trunc("day", c))
+
+  /** Run (or resume) the full cascade. */
+  def run(spark: SparkSession, tokens: DataFrame, conf: Conf): Seq[TierResult] = {
+    val io = new TableIO(conf.tableRoot)
+    val allDays = tokens.select(dayOf(col("event_time")).as("d"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+
+    lazy val states = TokenRollup.rowStates(tokens, conf.scale)
+      .withColumn("day", dayOf(col("event_time")))
+      .persist()
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[TierResult]
+    // bucket-states of the previous (finer) tier covering ALL days
+    var finer: Option[DataFrame] = None
+
+    conf.tiers.foreach { case (tierName, win) =>
+      val done = io.doneBuckets(tierName)
+      val pending = allDays.filterNot(done.contains)
+
+      val fresh: Option[DataFrame] = if (pending.isEmpty) None else Some {
+        val src = finer match {
+          case Some(fs) =>
+            TokenRollup.cascade(
+              fs.where(dayOf(col("bucket")).isin(pending: _*)), win)
+          case None =>
+            TokenRollup.mergeToBuckets(
+              states.where(col("day").isin(pending: _*)),
+              win, Seq("event_time", "doc_id"))
+        }
+        src.persist()
+      }
+
+      fresh.foreach { bucketStates =>
+        val feats = TokenRollup.finalizeFeatures(bucketStates)
+          .withColumn("commit_bucket", dayOf(col("bucket")))
+        io.commit(tierName, feats, pending, conf.jobId)
+        val lin = feats.groupBy(col("commit_bucket"))
+          .agg(count(lit(1)).as("points"), sum("tokens_in").as("tokens"),
+            sum(hash(col("source"), col("bucket"),
+              graft.functions.duckRound(col("mean"), 9)).cast("long")).as("chk"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3).toHexString))
+        io.appendLineage(conf.jobId, tierName, lin.toSeq)
+
+        val ordered = feats
+          .withColumn("bs", unix_timestamp(col("bucket")))
+          .groupBy(col("source"), col("commit_bucket"))
+          .agg(sort_array(collect_list(struct((Seq("bs") ++ conf.chunkFeatures)
+            .map(col): _*))).as("pts"))
+        val chunks = ordered.select(
+          Seq(col("source"), col("commit_bucket"), size(col("pts")).as("n_points"),
+            dod_encode(col("pts.bs")).as("ts_dod")) ++
+            conf.chunkFeatures.map(c =>
+              gorilla_encode(col(s"pts.$c")).as(s"${c}_gor")): _*)
+        io.commit(s"$tierName-chunks", chunks, pending, conf.jobId)
+        results += TierResult(tierName, pending, bucketStates.count())
+      }
+      if (fresh.isEmpty) results += TierResult(tierName, Nil, 0)
+
+      // full bucket-state view of this tier for the next cascade:
+      // committed days from the manifest + freshly computed days
+      val committedStates = io.read(spark, tierName).map { df =>
+        df.where(!col("commit_bucket").isin(pending: _*))
+          .select(col("source"), col("bucket"), col("P"),
+            col("rows_in"), col("tokens_in"))
+      }
+      val freshStates = fresh.map(_.select(col("source"), col("bucket"),
+        col("P"), col("rows_in"), col("tokens_in")))
+      finer = (committedStates, freshStates) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+    results.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val inPath = args.lift(0).getOrElse("/tmp/graft_tokens")
+    val root = args.lift(1).getOrElse("/tmp/graft_table")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tokens = spark.read.parquet(inPath)
+    val res = run(spark, tokens, Conf(tableRoot = root))
+    res.foreach(r => println(s"[rollup] tier=${r.tier} newDays=${r.newDays.size} points=${r.points}"))
+    spark.stop()
+  }
+}

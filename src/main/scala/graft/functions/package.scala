@@ -51,6 +51,16 @@ package object functions {
   def f_higuchi_fd(c: Column, p: FeatureParams = FeatureParams()): Column = feature("higuchi_fd", c, p)
   def f_spect_entropy(c: Column, p: FeatureParams = FeatureParams()): Column = feature("spect_entropy", c, p)
 
+  /** Mergeable per-row partial state (see TokenPartialsExpr). */
+  def token_partials(tokens: Column, scale: Double = 1.0): Column =
+    col(TokenPartialsExpr(expr(tokens), scale))
+
+  // codec columns
+  def gorilla_encode(c: Column): Column = col(GorillaEncodeExpr(expr(c)))
+  def gorilla_decode(c: Column): Column = col(GorillaDecodeExpr(expr(c)))
+  def dod_encode(c: Column): Column = col(DodEncodeExpr(expr(c)))
+  def dod_decode(c: Column): Column = col(DodDecodeExpr(expr(c)))
+
   /** Register every catalog feature as a SQL function `graft_<alias>(arr)`
     * with default params (sfreq 256, scale 1.0) — the engine's analogue of
     * the reference's introspected registry (utils.py:257-314).

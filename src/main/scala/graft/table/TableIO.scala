@@ -1,0 +1,139 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style table layout: immutable per-commit data directories +
+  * an append-only JSON-lines snapshot log (the manifest). No Iceberg
+  * runtime jar exists in this environment (SURVEY.md §7.0), so the
+  * snapshot/manifest/commit semantics are implemented directly and kept
+  * behind this facade.
+  *
+  * Layout:
+  *   root/data/<tier>/snap-<id>/   parquet (partitioned by source), immutable
+  *   root/meta/snapshots.jsonl     one JSON object per committed snapshot
+  *   root/meta/lineage.jsonl       per-(snapshot, bucket) lineage rows
+  *
+  * Commit protocol: write parquet to `<dir>.tmp`, fsync-rename to final
+  * dir, then append the snapshot line. A crash before the manifest append
+  * leaves an orphan directory that no reader ever sees (reads resolve
+  * strictly through the manifest) — re-running the bucket is idempotent.
+  * Resume = input buckets minus `doneBuckets` (the manifest
+  * high-water-mark); last-commit-wins on bucket collisions.
+  */
+final class TableIO(val root: String) {
+  private val metaDir = Paths.get(root, "meta")
+  private val snapshotsFile = metaDir.resolve("snapshots.jsonl")
+  private val lineageFile = metaDir.resolve("lineage.jsonl")
+
+  final case class Snapshot(id: Long, tier: String, dir: String,
+                            buckets: Seq[Long], rows: Long, jobId: String,
+                            committedAt: Long)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def snapshots(): Seq[Snapshot] = synchronized {
+    if (!Files.exists(snapshotsFile)) return Nil
+    val lines = Files.readAllLines(snapshotsFile, StandardCharsets.UTF_8)
+    import scala.jdk.CollectionConverters._
+    lines.asScala.toSeq.filter(_.nonEmpty).map(parseSnapshot)
+  }
+
+  // minimal JSON parsing for our own fixed-shape lines (no external deps)
+  private def parseSnapshot(line: String): Snapshot = {
+    def field(name: String): String = {
+      val i = line.indexOf("\"" + name + "\":")
+      require(i >= 0, s"missing $name in $line")
+      val start = i + name.length + 3
+      line(start) match {
+        case '"' =>
+          val end = line.indexOf('"', start + 1)
+          line.substring(start + 1, end)
+        case '[' =>
+          val end = line.indexOf(']', start)
+          line.substring(start + 1, end)
+        case _ =>
+          var end = start
+          while (end < line.length && line(end) != ',' && line(end) != '}') end += 1
+          line.substring(start, end)
+      }
+    }
+    Snapshot(field("id").toLong, field("tier"), field("dir"),
+      field("buckets").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq,
+      field("rows").toLong, field("jobId"), field("committedAt").toLong)
+  }
+
+  /** Buckets already committed for a tier (checkpoint high-water-mark). */
+  def doneBuckets(tier: String): Set[Long] =
+    snapshots().filter(_.tier == tier).flatMap(_.buckets).toSet
+
+  /** Atomically commit a tier DataFrame covering `buckets`. */
+  def commit(tier: String, df: DataFrame, buckets: Seq[Long], jobId: String,
+             partitionBy: Seq[String] = Seq("source")): Snapshot = synchronized {
+    Files.createDirectories(metaDir)
+    val id = snapshots().map(_.id).maxOption.getOrElse(0L) + 1
+    val relDir = s"data/$tier/snap-$id"
+    val finalDir = Paths.get(root, relDir)
+    val tmpDir = Paths.get(root, relDir + ".tmp")
+    Files.createDirectories(finalDir.getParent)
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("overwrite").parquet(tmpDir.toString)
+    val rows = df.sparkSession.read.parquet(tmpDir.toString).count()
+    Files.move(tmpDir, finalDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val snap = Snapshot(id, tier, relDir, buckets, rows, jobId,
+      System.currentTimeMillis())
+    val json = s"""{"id":${snap.id},"tier":"${esc(tier)}","dir":"${esc(relDir)}",""" +
+      s""""buckets":[${buckets.mkString(",")}],"rows":$rows,""" +
+      s""""jobId":"${esc(jobId)}","committedAt":${snap.committedAt}}""" + "\n"
+    Files.writeString(snapshotsFile, json, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    snap
+  }
+
+  /** Read a tier through the manifest: union of committed snapshot dirs,
+    * last-commit-wins per (bucket, key row) via snapshot precedence. */
+  def read(spark: SparkSession, tier: String): Option[DataFrame] = {
+    val snaps = snapshots().filter(_.tier == tier).sortBy(_.id)
+    if (snaps.isEmpty) return None
+    // bucket -> winning snapshot id (last commit wins)
+    val winner = snaps.flatMap(s => s.buckets.map(_ -> s.id)).toMap
+    val dfs = snaps.map { s =>
+      val keep = s.buckets.filter(b => winner(b) == s.id)
+      val df = spark.read.parquet(Paths.get(root, s.dir).toString)
+      if (keep.size == s.buckets.size) df
+      else df.where(col("commit_bucket").isin(keep: _*))
+    }
+    Some(dfs.reduce(_ unionByName _))
+  }
+
+  /** Append per-bucket lineage rows (driver-side, tiny). */
+  def appendLineage(jobId: String, tier: String,
+                    rows: Seq[(Long, Long, Long, String)]): Unit = synchronized {
+    Files.createDirectories(metaDir)
+    val sb = new StringBuilder
+    rows.foreach { case (bucket, rowsOut, tokensIn, checksum) =>
+      sb.append(s"""{"jobId":"${esc(jobId)}","tier":"${esc(tier)}",""" +
+        s""""bucket":$bucket,"rowsOut":$rowsOut,"tokensIn":$tokensIn,""" +
+        s""""checksum":"${esc(checksum)}"}""" + "\n")
+    }
+    Files.writeString(lineageFile, sb.toString, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def lineageLines(): Seq[String] = synchronized {
+    if (!Files.exists(lineageFile)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(lineageFile, StandardCharsets.UTF_8).asScala.toSeq
+    }
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Features
+import graft.engine.{RollupJob, TokenRollup}
+import graft.functions.FeatureParams
+import graft.gen.TokenGen
+import graft.table.TableIO
+
+/** Engine-level gates the reference cannot provide (SURVEY.md §5):
+  * tier-cascade equality vs recompute-from-concatenated-raw, compressed
+  * chunk round-trip, token-array ingest invariant, checkpoint-resume
+  * idempotence.
+  */
+class RollupEngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val bulk = {
+    spark.sparkContext.setLogLevel("ERROR")
+    TokenGen.bulk(spark, 600, nSources = 4, minLen = 64, maxLen = 512).persist()
+  }
+
+  val scale: Double = 1.0 / (1 << 24)
+
+  test("cascade 1m->1h states equal direct 1h states; features match " +
+    "kernel on window-concatenated signal (the rolled-up-point oracle)") {
+    val states = TokenRollup.rowStates(bulk, scale)
+    val m1 = TokenRollup.mergeToBuckets(states, "1 minute", Seq("event_time", "doc_id"))
+    val h1viaCascade = TokenRollup.finalizeFeatures(
+      TokenRollup.cascade(m1, "1 hour"))
+    val h1direct = TokenRollup.finalizeFeatures(
+      TokenRollup.mergeToBuckets(states, "1 hour", Seq("event_time", "doc_id")))
+
+    val feats = Seq("mean", "variance", "line_length", "hjorth_mobility",
+      "hjorth_complexity", "skewness", "kurtosis", "zero_crossings")
+    val a = h1viaCascade.select((Seq("source", "bucket") ++ feats).map(col): _*)
+      .collect().map(r => (r.getString(0), r.get(1).toString) -> r).toMap
+    val b = h1direct.select((Seq("source", "bucket") ++ feats).map(col): _*)
+      .collect().map(r => (r.getString(0), r.get(1).toString) -> r).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, ra) =>
+      val rb = b(k)
+      feats.indices.foreach { i =>
+        val va = ra.getDouble(2 + i); val vb = rb.getDouble(2 + i)
+        assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(vb)),
+          s"$k ${feats(i)}: cascade $va vs direct $vb")
+      }
+    }
+
+    // rolled-up-point oracle: per (source, hour) the cascade features must
+    // match the reference kernels applied to the window-concatenated signal
+    val concat = bulk
+      .groupBy(col("source"), window(col("event_time"), "1 hour").as("w"))
+      .agg(sort_array(collect_list(struct(col("event_time"), col("doc_id"),
+        col("tokens")))).as("rows"))
+      .select(col("source"), col("w.start").as("bucket"),
+        flatten(col("rows.tokens")).as("sig"))
+      .collect()
+    var checked = 0
+    concat.foreach { r =>
+      val key = (r.getString(0), r.getTimestamp(1).toString)
+      val sig = r.getSeq[Int](2).toArray.map(_ * scale)
+      if (sig.length >= 4) {
+        val ra = a((r.getString(0), r.getTimestamp(1).toString))
+        def check(name: String, idx: Int, expected: Double): Unit = {
+          val got = ra.getDouble(2 + idx)
+          assert(math.abs(got - expected) <= 1e-7 * math.max(1.0, math.abs(expected)),
+            s"$key $name: rollup $got vs kernel $expected")
+        }
+        check("mean", 0, Features.meanF(sig))
+        check("variance", 1, Features.varianceF(sig))
+        check("line_length", 2, Features.lineLength(sig))
+        check("hjorth_mobility", 3, Features.hjorthMobility(sig))
+        check("hjorth_complexity", 4, Features.hjorthComplexity(sig))
+        check("skewness", 5, Features.skewness(sig))
+        check("kurtosis", 6, Features.kurtosis(sig))
+        check("zero_crossings", 7, Features.zeroCrossings(sig))
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"only $checked windows checked")
+  }
+
+  test("rollup job end-to-end + chunk roundtrip + resume idempotence") {
+    import java.nio.file.Files
+    val rootA = Files.createTempDirectory("graft_tblA").toString
+    val rootB = Files.createTempDirectory("graft_tblB").toString
+    val conf = RollupJob.Conf(tableRoot = rootA, scale = scale, jobId = "jobA")
+
+    // full run
+    val res = RollupJob.run(spark, bulk, conf)
+    assert(res.forall(_.points > 0))
+    val ioA = new TableIO(rootA)
+    val m1 = ioA.read(spark, "1m").get
+    assert(m1.count() > 0)
+
+    // chunk round-trip: decode Gorilla/DoD chunks, compare to tier points
+    import graft.functions.{gorilla_decode, dod_decode}
+    val chunks = ioA.read(spark, "1h-chunks").get
+    val decoded = chunks.select(col("source"),
+      explode(arrays_zip(dod_decode(col("ts_dod")).as("bs"),
+        gorilla_decode(col("mean_gor")).as("mean"))).as("z"))
+      .select(col("source"), col("z.bs").as("bs"), col("z.mean").as("mean"))
+    val tier = ioA.read(spark, "1h").get
+      .select(col("source"), unix_timestamp(col("bucket")).as("bs"), col("mean"))
+    val joined = decoded.as("d").join(tier.as("t"), Seq("source", "bs"))
+    val n = joined.count()
+    assert(n == tier.count() && n == decoded.count(), s"chunk/tier count mismatch")
+    val mism = joined.where(col("d.mean") =!= col("t.mean")).count()
+    assert(mism == 0, s"$mism decoded values differ from tier points")
+
+    // resume: interrupt after day 1 (commit only first day), then resume;
+    // final table must equal the uninterrupted run
+    val allDays = bulk.select(unix_timestamp(date_trunc("day", col("event_time"))).as("d"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val firstDay = allDays.head
+    val partial = bulk.where(
+      unix_timestamp(date_trunc("day", col("event_time"))) === firstDay)
+    val confB = RollupJob.Conf(tableRoot = rootB, scale = scale, jobId = "jobB1")
+    RollupJob.run(spark, partial, confB) // "crashed" after first day committed
+    val resumed = RollupJob.run(spark, bulk, confB.copy(jobId = "jobB2"))
+    val ioB = new TableIO(rootB)
+    for (tierName <- Seq("1m", "1h", "1d")) {
+      val full = ioA.read(spark, tierName).get
+        .select("source", "bucket", "mean", "variance", "line_length")
+      val res = ioB.read(spark, tierName).get
+        .select("source", "bucket", "mean", "variance", "line_length")
+      assert(full.count() == res.count(), s"$tierName row count")
+      assert(full.exceptAll(res).count() == 0 && res.exceptAll(full).count() == 0,
+        s"$tierName resumed run differs from uninterrupted run")
+    }
+    // lineage recorded for every (tier, day)
+    assert(ioB.lineageLines().nonEmpty)
+  }
+
+  test("token-array equality invariant: ingest -> table -> read back") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_tok").toString
+    bulk.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == bulk.count())
+    val j = bulk.as("a").join(back.as("b"), Seq("doc_id"))
+    val bad = j.where(col("a.tokens") =!= col("b.tokens") ||
+      size(col("b.tokens")) =!= col("b.n_tok")).count()
+    assert(bad == 0, s"$bad rows violate the token-array equality invariant")
+  }
+
+  test("gap-fill LOCF over tier buckets") {
+    val states = TokenRollup.rowStates(bulk, scale)
+    val m1 = TokenRollup.finalizeFeatures(
+      TokenRollup.mergeToBuckets(states, "1 minute", Seq("event_time", "doc_id")))
+    val filled = graft.engine.Rollup.gapFillLocf(
+      m1.select(col("source"), col("bucket"), col("mean")),
+      Seq("source"), "bucket", Seq("mean"), "1 minute")
+    // grid is dense per source: count == (max-min)/60s + 1
+    val bounds = filled.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        ((unix_timestamp(max(col("bucket"))) - unix_timestamp(min(col("bucket")))) / 60 + 1)
+          .as("expected"))
+    assert(bounds.where(col("n") =!= col("expected")).count() == 0)
+    // gaps exist (generator skips every 7th minute) and are filled
+    assert(filled.where(col("filled") === 1).count() > 0)
+    assert(filled.where(col("mean_locf").isNull).count() == 0)
+  }
+}
