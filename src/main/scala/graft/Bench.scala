@@ -1,24 +1,146 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.TokenRollup
+import graft.functions.FeatureParams
+import graft.gen.TokenGen
+
+/** Benchmark main. Two parts:
+  *
+  * 1. Query suite on SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS]: every
+  *    SparkEntry query, forced to full evaluation with a checksum
+  *    aggregation (a bare count() would let Catalyst prune the feature
+  *    columns away and time nothing).
+  * 2. Rollup scaling evidence (the north rule's two-cluster-size
+  *    criterion, sandbox protocol): the raw-tier feature pass + 1m->1h->1d
+  *    cascade over a deterministic token table, run at local[8] and
+  *    local[32] on identical input; reports tokens/sec at both and
+  *    scaling efficiency thr32 / (4 * thr8).
+  *
+  * Prints ONE JSON line: {"metric","value","unit","queries","sf",...}.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def forceEval(df: DataFrame): Long = {
+    // double-avg of the row hash: forces every column's evaluation
+    // (a bare count() would be pruned) and cannot overflow under ANSI
+    val cols = df.columns.map(c => col(c).cast("string"))
+    df.select(xxhash64(cols: _*).cast("double").as("h")).agg(avg("h")).collect()
+    df.count()
+  }
+
+  private def newSession(cpus: Int): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 8))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+  }
+
+  /** Raw-tier features + full cascade; returns total tokens processed. */
+  private def rollupWorkload(spark: SparkSession, tokensPath: String): Long = {
+    val tokens = spark.read.parquet(tokensPath)
+    val scale = 1.0 / (1 << 24)
+    // raw tier: per-row spectral + fractal features (headline kernels)
+    val p = FeatureParams(sfreq = 256.0, scale = scale)
+    val raw = tokens.select(col("doc_id"), col("source"), col("n_tok"),
+      graft.functions.feature("mean", col("tokens"), p).as("mean"),
+      graft.functions.feature("line_length", col("tokens"), p).as("line_length"),
+      graft.functions.feature("hjorth_mobility", col("tokens"), p).as("hjorth_mobility"),
+      graft.functions.feature("spect_entropy", col("tokens"), p).as("spect_entropy"),
+      graft.functions.feature("higuchi_fd", col("tokens"), p).as("higuchi_fd"))
+    forceEval(raw)
+    // cascade tiers from mergeable states
+    val states = TokenRollup.rowStates(tokens, scale)
+    val m1 = TokenRollup.mergeToBuckets(states, "1 minute", Seq("event_time", "doc_id")).persist()
+    forceEval(TokenRollup.finalizeFeatures(m1))
+    val h1 = TokenRollup.cascade(m1, "1 hour").persist()
+    forceEval(TokenRollup.finalizeFeatures(h1))
+    forceEval(TokenRollup.finalizeFeatures(TokenRollup.cascade(h1, "1 day")))
+    m1.unpersist(); h1.unpersist()
+    tokens.agg(sum("n_tok")).collect()(0).getLong(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nDocs = sfDir match {
+      case d if d.contains("0.001") => 4000
+      case d if d.contains("0.01") => 12000
+      case _ => 40000
+    }
+
+    // ---- part 1: query suite ------------------------------------------
+    var spark = newSession(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try forceEval(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- part 2: rollup scaling at local[8] vs local[32] ---------------
+    val tokensPath = s"/tmp/graft_bench_tokens_$nDocs"
+    if (!new java.io.File(tokensPath + "/_SUCCESS").exists()) {
+      TokenGen.bulk(spark, nDocs, 16, 64, 4096)
+        .write.mode("overwrite").partitionBy("source").parquet(tokensPath)
+    }
     spark.stop()
+
+    // each parallelism level runs in a FRESH child JVM: same-process
+    // session reuse pollutes the measurement (leftover GC pressure and
+    // codegen caches skewed local[32] 10x in testing)
+    def timed(p: Int): (Double, Long) = {
+      val java = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
+      val cmd = Seq(java) ++ opens ++ Seq("-Xmx32g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
+        "graft.tools.RollupBench", tokensPath, p.toString)
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      src.getLines().foreach(l => out.append(l).append('\n'))
+      proc.waitFor()
+      val line = out.toString.linesIterator
+        .find(_.startsWith("[rollupbench]"))
+        .getOrElse(sys.error(s"no rollupbench output for p=$p: $out"))
+      val kv = line.split(" ").collect { case s if s.contains("=") =>
+        val Array(k, v) = s.split("="); k -> v }.toMap
+      (kv("sec").toDouble, kv("tokens").toLong)
+    }
+    val (sec8, tok8) = timed(8)
+    val (sec32, tok32) = timed(32)
+    val thr8 = tok8 / sec8
+    val thr32 = tok32 / sec32
+    val eff = thr32 / (4.0 * thr8)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalS = f"$total%.3f"
+    println(
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""rollup_tokens":$tok32,"rollup_sec_local8":${f"$sec8%.3f"},""" +
+        s""""rollup_sec_local32":${f"$sec32%.3f"},""" +
+        s""""tokens_per_sec_local8":${f"$thr8%.0f"},""" +
+        s""""tokens_per_sec_local32":${f"$thr32%.0f"},""" +
+        s""""scaling_efficiency_8_to_32":${f"$eff%.3f"}}""")
   }
 }

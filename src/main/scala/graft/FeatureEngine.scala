@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{feature, FeatureParams}
+
+/** The engine's `extract_features` analogue (reference
+  * feature_extraction.py:447-538): select feature aliases, route
+  * `alias__param` config, get one wide row per epoch with
+  * reference-compatible flattened column names
+  * `<alias>__<ch>[__<suffix>]` (the two-level MultiIndex of
+  * `_format_as_dataframe`, feature_extraction.py:174-206, joined on "__";
+  * channel renaming per ch_names, feature_extraction.py:234-241).
+  *
+  * User-defined feature functions (the reference's UDF surface,
+  * feature_extraction.py:277-292) are accepted as (name, Column => Column).
+  */
+object FeatureEngine {
+
+  /** Parse the reference's `alias__param` namespace into per-alias params. */
+  def resolveParams(alias: String, base: FeatureParams,
+                    conf: Map[String, String]): FeatureParams = {
+    def p(name: String): Option[String] = conf.get(s"${alias}__$name")
+    var out = base
+    p("q").foreach(v => out = out.copy(qs = v.split(",").map(_.trim.toDouble).toSeq))
+    p("kmax").foreach(v => out = out.copy(kmax = v.toInt))
+    p("emb").foreach(v => out = out.copy(emb = v.toInt))
+    p("tau").foreach(v => out = out.copy(tau = v.toInt))
+    p("threshold").foreach(v => out = out.copy(threshold = v.toDouble))
+    p("freq_bands").foreach(v =>
+      out = out.copy(bandEdges = v.split(",").map(_.trim.toDouble).toSeq, bandPairs = Nil))
+    p("edge").foreach(v => out = out.copy(edges = v.split(",").map(_.trim.toDouble).toSeq))
+    p("normalize").foreach(v => out = out.copy(normalize = v.toBoolean))
+    p("ratios").foreach(v => out = out.copy(ratios = Some(v)))
+    p("ratios_triu").foreach(v => out = out.copy(ratiosTriu = v.toBoolean))
+    p("psd_method").foreach(v => out = out.copy(psdMethod = v))
+    p("log").foreach(v => out = out.copy(logOut = v.toBoolean))
+    p("fmin").foreach(v => out = out.copy(fmin = v.toDouble))
+    p("fmax").foreach(v => out = out.copy(fmax = v.toDouble))
+    p("ref_freq").foreach(v => out = out.copy(refFreq = v.toDouble))
+    p("deriv_filt").foreach(v => out = out.copy(derivFilt = v.toBoolean))
+    out
+  }
+
+  /** Output column names per alias, reproducing the reference
+    * get_feature_names hooks (widths depend on params — dynamic schema). */
+  def featureNames(alias: String, p: FeatureParams, ch: String): Seq[String] =
+    alias match {
+      case "quantile" =>
+        if (p.qs.size == 1) Seq(s"${alias}__$ch")
+        else p.qs.indices.map(i => s"${alias}__${ch}__$i")
+      case "pow_freq_bands" =>
+        val nb = p.bands.length
+        val bandNames = (0 until nb).map(i => s"band$i")
+        val powNames = bandNames.map(b => s"${alias}__${ch}__$b")
+        val ratioNames = graft.core.Features.idxPairs(nb, p.ratiosTriu)
+          .map { case (i, j) => s"${alias}__${ch}__${bandNames(i)}/${bandNames(j)}" }
+        p.ratios match {
+          case None => powNames
+          case Some("only") => ratioNames.toSeq
+          case _ => powNames ++ ratioNames
+        }
+      case "energy_freq_bands" =>
+        p.bands.indices.map(i => s"${alias}__${ch}__band$i")
+      case "spect_slope" =>
+        Seq("intercept", "slope", "MSE", "R2").map(s => s"${alias}__${ch}__$s")
+      case "spect_edge_freq" =>
+        if (p.edges.size == 1) Seq(s"${alias}__$ch")
+        else p.edges.indices.map(i => s"${alias}__${ch}__$i")
+      case "wavelet_coef_energy" =>
+        (0 until 6).map(i => s"${alias}__${ch}__$i") // levdec at n>=448 is 6
+      case "teager_kaiser_energy" =>
+        (0 to 6).flatMap(i => Seq("mean", "std").map(s => s"${alias}__${ch}__${i}_$s"))
+      case _ => Seq(s"${alias}__$ch")
+    }
+
+  /** Extract selected features as a wide DataFrame (one row per epoch). */
+  def extract(df: DataFrame, tokensCol: String, selected: Seq[String],
+              funcsParams: Map[String, String] = Map(),
+              base: FeatureParams = FeatureParams(),
+              chName: String = "ch0",
+              keep: Seq[String] = Seq("doc_id"),
+              userFuncs: Seq[(String, Column => Column)] = Nil): DataFrame = {
+    val known = graft.functions.FeatureCatalog.all.keySet
+    val bad = selected.filterNot(known.contains)
+    require(bad.isEmpty,
+      s"unknown feature alias(es): ${bad.mkString(", ")} — valid: ${known.toSeq.sorted.mkString(", ")}")
+    val cols = selected.flatMap { alias =>
+      val p = resolveParams(alias, base, funcsParams)
+      val names = featureNames(alias, p, chName)
+      val c = feature(alias, col(tokensCol), p)
+      if (names.size == 1) Seq(c.as(names.head))
+      else names.zipWithIndex.map { case (nm, i) => element_at(c, i + 1).as(nm) }
+    } ++ userFuncs.map { case (nm, fn) => fn(col(tokensCol)).as(s"${nm}__$chName") }
+    df.select((keep.map(col) ++ cols): _*)
+  }
+}

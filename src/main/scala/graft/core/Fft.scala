@@ -4,18 +4,50 @@ package graft.core
   * chirp-z algorithm otherwise. Double precision throughout, matching
   * np.fft semantics (unnormalized forward, 1/n inverse).
   *
+  * Performance notes (hot path of the raw feature tier):
+  * - twiddle factors are tabulated once per size (cos/sin arrays), not
+  *   recomputed per butterfly — trig was ~90% of a naive transform;
+  * - Bluestein scratch (4 arrays of the padded pow-2 size) and the chirp
+  *   tables are kept in ThreadLocal caches: the per-row allocation churn
+  *   otherwise throttles 32-thread executors on GC.
+  *
   * Written from the textbook formulas (Cooley-Tukey / Bluestein); the
   * reference relies on np.fft.rfft (reference utils.py:166) and np.fft.fft
   * (reference univariate.py:67-69).
   */
 object Fft {
 
+  /** Per-thread twiddle cache: size -> (cos, sin) of length size/2. */
+  private val twiddleCache = new ThreadLocal[java.util.HashMap[Integer, (Array[Double], Array[Double])]] {
+    override def initialValue() = new java.util.HashMap()
+  }
+
+  private def twiddles(n: Int): (Array[Double], Array[Double]) = {
+    val cache = twiddleCache.get()
+    var t = cache.get(n)
+    if (t == null) {
+      val c = new Array[Double](n / 2)
+      val s = new Array[Double](n / 2)
+      var k = 0
+      while (k < n / 2) {
+        val ang = -2.0 * math.Pi * k / n
+        c(k) = math.cos(ang)
+        s(k) = math.sin(ang)
+        k += 1
+      }
+      t = (c, s)
+      if (cache.size > 64) cache.clear() // bound the per-thread cache
+      cache.put(n, t)
+    }
+    t
+  }
+
   /** In-place radix-2 Cooley-Tukey; n must be a power of two. */
-  private def transformRadix2(re: Array[Double], im: Array[Double]): Unit = {
-    val n = re.length
+  private def transformRadix2(re: Array[Double], im: Array[Double], n: Int): Unit = {
     if (n <= 1) return
-    var levels = 31 - Integer.numberOfLeadingZeros(n)
+    val levels = 31 - Integer.numberOfLeadingZeros(n)
     require(1 << levels == n, "radix-2 size must be a power of 2")
+    val (cosT, sinT) = twiddles(n)
     // bit-reversal permutation
     var i = 0
     while (i < n) {
@@ -26,7 +58,7 @@ object Fft {
       }
       i += 1
     }
-    // butterfly passes
+    // butterfly passes with tabulated twiddles
     var size = 2
     while (size <= n) {
       val half = size / 2
@@ -36,9 +68,8 @@ object Fft {
         var j = base
         var k = 0
         while (j < base + half) {
-          val ang = -2.0 * math.Pi * k / n
-          val wr = math.cos(ang)
-          val wi = math.sin(ang)
+          val wr = cosT(k)
+          val wi = sinT(k)
           val l = j + half
           val tr = re(l) * wr - im(l) * wi
           val ti = re(l) * wi + im(l) * wr
@@ -55,17 +86,16 @@ object Fft {
     }
   }
 
-  /** Forward DFT of arbitrary length (in place). */
+  /** Forward DFT of arbitrary length (in place, arrays define n). */
   def forward(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
     if (n == 0) return
-    if ((n & (n - 1)) == 0) transformRadix2(re, im)
+    if ((n & (n - 1)) == 0) transformRadix2(re, im, n)
     else bluestein(re, im)
   }
 
   /** Inverse DFT with 1/n normalization (np.fft.ifft semantics). */
   def inverse(re: Array[Double], im: Array[Double]): Unit = {
-    // conj -> forward -> conj, scale 1/n
     val n = re.length
     var i = 0
     while (i < n) { im(i) = -im(i); i += 1 }
@@ -74,42 +104,70 @@ object Fft {
     while (i < n) { re(i) /= n; im(i) = -im(i) / n; i += 1 }
   }
 
-  /** Bluestein chirp-z: DFT of arbitrary n via convolution at size 2^k >= 2n+1. */
+  /** Per-thread Bluestein state: chirp tables per n + grow-only scratch. */
+  private final class BluesteinState {
+    var n: Int = -1
+    var m: Int = 0
+    var cosT: Array[Double] = _
+    var sinT: Array[Double] = _
+    var bre: Array[Double] = _ // pre-transformed chirp kernel
+    var bim: Array[Double] = _
+    var are: Array[Double] = new Array[Double](0)
+    var aim: Array[Double] = new Array[Double](0)
+
+    def prepare(nIn: Int): Unit = {
+      var mm = 1
+      while (mm < nIn * 2 + 1) mm *= 2
+      if (are.length < mm) { are = new Array[Double](mm); aim = new Array[Double](mm) }
+      m = mm
+      if (n != nIn) {
+        n = nIn
+        cosT = new Array[Double](n)
+        sinT = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val j = (i.toLong * i) % (n.toLong * 2)
+          val ang = math.Pi * j / n
+          cosT(i) = math.cos(ang)
+          sinT(i) = math.sin(ang)
+          i += 1
+        }
+        bre = new Array[Double](m)
+        bim = new Array[Double](m)
+        bre(0) = cosT(0); bim(0) = sinT(0)
+        i = 1
+        while (i < n) {
+          bre(i) = cosT(i); bim(i) = sinT(i)
+          bre(m - i) = cosT(i); bim(m - i) = sinT(i)
+          i += 1
+        }
+        transformRadix2(bre, bim, m)
+      }
+    }
+  }
+
+  private val blueCache = new ThreadLocal[BluesteinState] {
+    override def initialValue() = new BluesteinState
+  }
+
+  /** Bluestein chirp-z: DFT of arbitrary n via convolution at 2^k >= 2n+1. */
   private def bluestein(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
-    var m = 1
-    while (m < n * 2 + 1) m *= 2
-    val cosT = new Array[Double](n)
-    val sinT = new Array[Double](n)
+    val st = blueCache.get()
+    st.prepare(n)
+    val m = st.m
+    val cosT = st.cosT; val sinT = st.sinT
+    val are = st.are; val aim = st.aim
+    java.util.Arrays.fill(are, 0, m, 0.0)
+    java.util.Arrays.fill(aim, 0, m, 0.0)
     var i = 0
-    while (i < n) {
-      // angle = pi * i^2 / n, computed mod 2n to keep precision
-      val j = (i.toLong * i) % (n.toLong * 2)
-      val ang = math.Pi * j / n
-      cosT(i) = math.cos(ang)
-      sinT(i) = math.sin(ang)
-      i += 1
-    }
-    val are = new Array[Double](m)
-    val aim = new Array[Double](m)
-    i = 0
     while (i < n) {
       are(i) = re(i) * cosT(i) + im(i) * sinT(i)
       aim(i) = -re(i) * sinT(i) + im(i) * cosT(i)
       i += 1
     }
-    val bre = new Array[Double](m)
-    val bim = new Array[Double](m)
-    bre(0) = cosT(0); bim(0) = sinT(0)
-    i = 1
-    while (i < n) {
-      bre(i) = cosT(i); bim(i) = sinT(i)
-      bre(m - i) = cosT(i); bim(m - i) = sinT(i)
-      i += 1
-    }
-    // circular convolution via radix-2 FFT
-    transformRadix2(are, aim)
-    transformRadix2(bre, bim)
+    transformRadix2(are, aim, m)
+    val bre = st.bre; val bim = st.bim
     i = 0
     while (i < m) {
       val tr = are(i) * bre(i) - aim(i) * bim(i)
@@ -117,10 +175,10 @@ object Fft {
       are(i) = tr
       i += 1
     }
-    // inverse of size m (power of 2)
+    // inverse of size m (power of 2), in place on the scratch
     i = 0
     while (i < m) { aim(i) = -aim(i); i += 1 }
-    transformRadix2(are, aim)
+    transformRadix2(are, aim, m)
     i = 0
     while (i < m) { are(i) /= m; aim(i) = -aim(i) / m; i += 1 }
     i = 0
@@ -131,9 +189,7 @@ object Fft {
     }
   }
 
-  /** np.fft.rfft: one-sided spectrum of a real signal, n/2+1 bins.
-    * Returns (re, im) arrays of length n/2+1.
-    */
+  /** np.fft.rfft: one-sided spectrum of a real signal, n/2+1 bins. */
   def rfft(x: Array[Double]): (Array[Double], Array[Double]) = {
     val n = x.length
     val re = java.util.Arrays.copyOf(x, n)

@@ -30,12 +30,17 @@ object TokenRollup {
   val StateFields: Seq[String] = Seq("n", "s1", "s2", "s3", "s4", "mn", "mx",
     "sumAbsD", "sumDSq", "sumESq", "f1", "f2", "l1", "l2", "zc", "fSgn", "lSgn")
 
-  /** Per-row states from the token table. */
+  /** Per-row states from the token table. The n >= 2 precondition is
+    * filtered on the cheap n_tok column BEFORE the projection — filtering
+    * on P itself would evaluate the kernel twice per row (once in the
+    * Filter, once in the Project; CodegenFallback expressions get no
+    * cross-operator subexpression elimination). */
   def rowStates(tokens: DataFrame, scale: Double): DataFrame =
-    tokens.select(col("source"), col("event_time"), col("doc_id"),
-      col("n_tok").cast("long").as("row_tokens"),
-      token_partials(col("tokens"), scale).as("P"))
-      .where(col("P").isNotNull)
+    tokens
+      .where(col("tokens").isNotNull && col("n_tok") >= 2)
+      .select(col("source"), col("event_time"), col("doc_id"),
+        col("n_tok").cast("long").as("row_tokens"),
+        token_partials(col("tokens"), scale).as("P"))
 
   /** Compose unit states (ordered by `orderCols` within (source, window))
     * into one state per (source, bucket). The lag-bridge materializes the
@@ -46,19 +51,24 @@ object TokenRollup {
     val withW = units.withColumn("w", window(col(orderCols.head), win))
     val ord = orderCols.map(col)
     val w = Window.partitionBy(col("source"), col("w")).orderBy(ord: _*)
-    val pl1 = lag(col("P.l1"), 1).over(w)
-    val pl2 = lag(col("P.l2"), 1).over(w)
-    val plSgn = lag(col("P.lSgn"), 1).over(w)
+    // all three lags in ONE select -> a single Window node in the plan
+    // (chained withColumn would interleave Projects and defeat
+    // CollapseWindow, leaving one Window scan per lag)
+    val lagged = withW.select(col("*"),
+      lag(col("P.l1"), 1).over(w).as("_pl1"),
+      lag(col("P.l2"), 1).over(w).as("_pl2"),
+      lag(col("P.lSgn"), 1).over(w).as("_plSgn"))
+    val pl1 = col("_pl1"); val pl2 = col("_pl2"); val plSgn = col("_plSgn")
     val d = col("P.f1") - pl1
-    val bridged = withW
-      .withColumn("bAbsD", when(pl1.isNull, lit(0.0)).otherwise(abs(d)))
-      .withColumn("bDSq", when(pl1.isNull, lit(0.0)).otherwise(d * d))
-      .withColumn("bESq", when(pl1.isNull, lit(0.0)).otherwise(
-        pow(d - (pl1 - pl2), 2) + pow((col("P.f2") - col("P.f1")) - d, 2)))
-      .withColumn("bZc", when(pl1.isNull, lit(0L)).otherwise(
+    val bridged = lagged.select(col("*"),
+      when(pl1.isNull, lit(0.0)).otherwise(abs(d)).as("bAbsD"),
+      when(pl1.isNull, lit(0.0)).otherwise(d * d).as("bDSq"),
+      when(pl1.isNull, lit(0.0)).otherwise(
+        pow(d - (pl1 - pl2), 2) + pow((col("P.f2") - col("P.f1")) - d, 2)).as("bESq"),
+      when(pl1.isNull, lit(0L)).otherwise(
         when(col("P.fSgn") === 0 && plSgn =!= 0, lit(1L)).otherwise(lit(0L)) +
-          when(col("P.fSgn") * plSgn < 0, lit(1L)).otherwise(lit(0L))))
-      .withColumn("ordKey", struct(ord: _*))
+          when(col("P.fSgn") * plSgn < 0, lit(1L)).otherwise(lit(0L))).as("bZc"),
+      struct(ord: _*).as("ordKey"))
     val agg = bridged.groupBy(col("source"), col("w"))
       .agg(
         sum("P.n").as("n"), sum("P.s1").as("s1"), sum("P.s2").as("s2"),

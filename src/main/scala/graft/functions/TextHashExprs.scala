@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.gen.SplitMix64
+
+/** Single-pass signature kernels for the dedup family. One JVM loop per
+  * row instead of K stacked array-HOF passes — the difference between an
+  * interpreted 64-pass plan and a tight O(K * n) kernel.
+  */
+case class MinHashExpr(child: Expression, k: Int = 64)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData].toLongArray()
+    val out = Array.fill(k)(Long.MaxValue)
+    val a = MinHashExpr.coefA
+    val b = MinHashExpr.coefB
+    val p = MinHashExpr.Prime
+    var i = 0
+    while (i < sh.length) {
+      val h = ((sh(i) % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object MinHashExpr {
+  val Prime: Long = 2147483647L // 2^31-1: a*h stays under 2^62
+  val K = 64
+  private[functions] val (coefA, coefB) = {
+    val rng = new SplitMix64(42L)
+    val a = Array.fill(K)((math.abs(rng.nextLong()) % (Prime - 1)) + 1)
+    val b = Array.fill(K)(math.abs(rng.nextLong()) % Prime)
+    (a, b)
+  }
+}
+
+/** 64-bit SimHash over whitespace tokens of a text column, one pass. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase.trim
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          // xxhash64-compatible enough: use murmur-ish mix of the token
+          var h = 0xcbf29ce484222325L // FNV-1a 64
+          var j = start
+          while (j < i) { h ^= text.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

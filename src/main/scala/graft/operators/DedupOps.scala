@@ -39,23 +39,13 @@ object DedupOps {
   private val MinHashK = 64
   private val Bands = 16
   private val RowsPerBand = 4
-  private val Prime = 2147483647L // Mersenne 2^31-1: a*h stays under 2^62 (no int64 overflow)
 
-  /** Per-permutation affine coefficients (deterministic, SplitMix64). */
-  private lazy val perms: Array[(Long, Long)] = {
-    val rng = new graft.gen.SplitMix64(42L)
-    Array.fill(MinHashK)((math.abs(rng.nextLong()) % (Prime - 1)) + 1 ->
-      math.abs(rng.nextLong()) % Prime)
-  }
-
-  /** 64-slot minhash signature of a shingle-hash array. */
-  def minhashSignature(sh: Column): Column = {
-    val cols = perms.map { case (a, b) =>
-      array_min(transform(sh,
-        h => pmod(pmod(h, lit(Prime)) * a + b, lit(Prime))))
-    }
-    array(cols.toIndexedSeq: _*)
-  }
+  /** 64-slot minhash signature of a shingle-hash array (single-pass
+    * kernel, functions.MinHashExpr). */
+  def minhashSignature(sh: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(sh), MinHashK))
 
   /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
     * minhash slots), threshold-filtered. */
@@ -64,6 +54,7 @@ object DedupOps {
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+      .persist() // signatures feed both sides of the band self-join
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)), b))))
@@ -86,16 +77,10 @@ object DedupOps {
   /** 64-bit SimHash over word hashes: bit b of the signature = sign of the
     * vote sum over tokens' bit b. Computed per row with array expressions —
     * no explode, no shuffle. */
-  def simhash(text: Column): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    val hashes = transform(words, w => xxhash64(w))
-    (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-          .otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-  }
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash64Expr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
 
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash(col("text")).as("simhash"))

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FeatureParams
+import graft.gen.TokenGen
+
+/** FeatureEngine facade + streaming tier + SQL registration. */
+class EngineApiSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val scale: Double = 1.0 / (1 << 24)
+
+  test("FeatureEngine.extract: reference-named wide output + param routing " +
+    "+ user-defined feature (feature_extraction.py:447-538 surface)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val fx = TokenGen.fixtures(spark).where(col("doc_id").startsWith("data1"))
+    val out = FeatureEngine.extract(fx, "tokens",
+      selected = Seq("mean", "variance", "quantile", "pow_freq_bands", "spect_slope"),
+      funcsParams = Map("quantile__q" -> "0.25,0.75",
+        "pow_freq_bands__freq_bands" -> "1,2,3",
+        "pow_freq_bands__psd_method" -> "fft"),
+      base = FeatureParams(sfreq = 8.0, scale = scale, fmin = 0.0, fmax = 4.0))
+    val cols = out.columns.toSeq
+    assert(cols.contains("mean__ch0") && cols.contains("variance__ch0"))
+    assert(cols.contains("quantile__ch0__0") && cols.contains("quantile__ch0__1"))
+    assert(cols.contains("pow_freq_bands__ch0__band0") &&
+      cols.contains("pow_freq_bands__ch0__band1"))
+    assert(cols.contains("spect_slope__ch0__MSE") && cols.contains("spect_slope__ch0__R2"))
+    val r = out.where(col("doc_id") === "data1/ch0").head
+    assert(math.abs(r.getAs[Double]("mean__ch0") - (-0.25)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("variance__ch0") - 19.0 / 14) < 1e-7)
+    assert(math.abs(r.getAs[Double]("quantile__ch0__0") - (-1.0)) < 1e-7)
+
+    // unknown alias -> error (reference _check_funcs semantics)
+    val err = intercept[IllegalArgumentException] {
+      FeatureEngine.extract(fx, "tokens", Seq("not_a_feature"))
+    }
+    assert(err.getMessage.contains("not_a_feature"))
+
+    // user-defined feature function
+    val udfOut = FeatureEngine.extract(fx, "tokens", Seq("mean"),
+      base = FeatureParams(scale = scale),
+      userFuncs = Seq("n_higher_than_mean" -> (c =>
+        size(filter(c, t => t.cast("double") * scale >
+          aggregate(c, lit(0.0), (a, x) => a + x.cast("double") * scale) / size(c))))))
+    assert(udfOut.columns.contains("n_higher_than_mean__ch0"))
+  }
+
+  test("SQL registration: graft_* functions usable from spark.sql") {
+    graft.functions.registerAll(spark, FeatureParams(scale = scale))
+    TokenGen.fixtures(spark).createOrReplaceTempView("tok")
+    val r = spark.sql(
+      """SELECT doc_id, graft_mean(tokens) AS m, graft_line_length(tokens) AS ll
+         FROM tok WHERE doc_id = 'data1/ch0'""").head
+    assert(math.abs(r.getDouble(1) - (-0.25)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 10.0 / 7) < 1e-7)
+  }
+
+  test("streaming tier equals batch tier on the orderless features") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val bulk = TokenGen.bulk(spark, 300, nSources = 3, minLen = 64, maxLen = 256)
+    bulk.write.mode("overwrite").parquet(dir)
+
+    val streamed = graft.streaming.StreamingRollup
+      .runOnce(spark, dir, "1 hour", "10 minutes", scale, "stream_tier")
+      .select("source", "bucket", "n", "mean", "variance", "rms", "ptp_amp")
+
+    val states = graft.engine.TokenRollup.rowStates(spark.read.parquet(dir), scale)
+    val batch = graft.engine.TokenRollup.finalizeFeatures(
+      graft.engine.TokenRollup.mergeToBuckets(states, "1 hour",
+        Seq("event_time", "doc_id")))
+      .select(col("source"), col("bucket"), col("n_samples").as("n"),
+        col("mean"), col("variance"), col("rms"), col("ptp_amp"))
+
+    val a = streamed.collect().map(r => (r.getString(0), r.get(1).toString) -> r).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.get(1).toString) -> r).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, ra) =>
+      val rb = b(k)
+      for (i <- 2 until 7) {
+        val va = ra.get(i).toString.toDouble
+        val vb = rb.get(i).toString.toDouble
+        assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(vb)), s"$k col $i: $va vs $vb")
+      }
+    }
+  }
+}
