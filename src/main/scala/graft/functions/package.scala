@@ -55,6 +55,10 @@ package object functions {
   def token_partials(tokens: Column, scale: Double = 1.0): Column =
     col(TokenPartialsExpr(expr(tokens), scale))
 
+  /** Cross-channel feature over array<struct<ch, sig>> (see TokenBivariate). */
+  def bivariate(name: String, channels: Column, sfreq: Double = 256.0): Column =
+    col(TokenBivariate(expr(channels), name, sfreq))
+
   // codec columns
   def gorilla_encode(c: Column): Column = col(GorillaEncodeExpr(expr(c)))
   def gorilla_decode(c: Column): Column = col(GorillaDecodeExpr(expr(c)))

@@ -37,10 +37,21 @@ object RawScale {
           avg("spect_entropy"), avg("higuchi_fd")).collect()
     }
     rawJob() // warm-up
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     for (r <- 1 to reps) {
+      val cpu0 = osBean.getProcessCpuTime
+      var gc0 = 0L
+      gcBeans.forEach(b => gc0 += b.getCollectionTime)
       val t0 = System.nanoTime()
       rawJob()
-      println(f"[rawscale] cpus=$cpus rep=$r sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+      var gc1 = 0L
+      gcBeans.forEach(b => gc1 += b.getCollectionTime)
+      println(f"[rawscale] cpus=$cpus rep=$r sec=$wall%.3f cpu=$cpuS%.1f " +
+        f"cpuPerWall=${cpuS / wall}%.1f gcMs=${gc1 - gc0}")
     }
     spark.stop()
   }

@@ -23,6 +23,7 @@ object RollupBench {
       if (verbose) println(f"[phase] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
+    // full rollup: raw-tier feature pass + the 1m/1h/1d cascade
     val raw = tokens.select(col("doc_id"), col("source"), col("n_tok"),
       graft.functions.feature("mean", col("tokens"), p).as("mean"),
       graft.functions.feature("line_length", col("tokens"), p).as("line_length"),
@@ -57,8 +58,9 @@ object RollupBench {
       // heavy per-row compute; the default 128MB bins + 4MB open-cost
       // pack them into ~16 splits and cap parallelism below the core
       // count. Size splits for CPU cost, not byte count.
-      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (16 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (32 * 1024).toString)
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
