@@ -40,6 +40,9 @@ object FeatureEngine {
     p("fmax").foreach(v => out = out.copy(fmax = v.toDouble))
     p("ref_freq").foreach(v => out = out.copy(refFreq = v.toDouble))
     p("deriv_filt").foreach(v => out = out.copy(derivFilt = v.toBoolean))
+    p("welch_n_fft").foreach(v => out = out.copy(welchNFft = v.toInt))
+    p("welch_n_per_seg").foreach(v => out = out.copy(welchNPerSeg = v.toInt))
+    p("welch_n_overlap").foreach(v => out = out.copy(welchNOverlap = v.toInt))
     out
   }
 

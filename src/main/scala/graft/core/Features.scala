@@ -2,6 +2,15 @@ package graft.core
 
 import NumKit._
 
+/** PSD estimation config threaded through the spectral family
+  * (psd_method + the reference's welch_* psd_params). */
+final case class PsdConf(method: String = "fft", nFft: Int = 256,
+                         nPerSeg: Int = -1, nOverlap: Int = 0) {
+  def spectrum(x: Array[Double], sfreq: Double): Psd.Spectrum =
+    Psd.compute(x, sfreq, method, welchNFft = nFft, welchNPerSeg = nPerSeg,
+      welchNOverlap = nOverlap)
+}
+
 /** The 28 univariate per-epoch feature kernels, each an exact semantic port
   * of its reference counterpart in /root/reference/mne_features/univariate.py
   * (file:line cited per function). Pure Scala over Array[Double]; zero Spark
@@ -305,8 +314,9 @@ object Features {
   def powFreqBands(x: Array[Double], sfreq: Double,
                    bands: Array[(Double, Double)], normalize: Boolean,
                    ratios: Option[String], ratiosTriu: Boolean,
-                   psdMethod: String, logOut: Boolean): Array[Double] = {
-    val sp = Psd.compute(x, sfreq, psdMethod)
+                   psdMethod: String, logOut: Boolean,
+                   psd: PsdConf = PsdConf()): Array[Double] = {
+    val sp = psd.copy(method = psdMethod).spectrum(x, sfreq)
     val nb = bands.length
     val pow = new Array[Double](nb)
     var j = 0
@@ -343,18 +353,18 @@ object Features {
   /** compute_hjorth_mobility_spect (univariate.py:785-836): sum(psd * f^2),
     * optionally / sum(psd). */
   def hjorthMobilitySpect(x: Array[Double], sfreq: Double, normalize: Boolean,
-                          psdMethod: String): Double =
-    hjorthSpectMoment(x, sfreq, normalize, psdMethod, 2)
+                          psdMethod: String, psd: PsdConf = PsdConf()): Double =
+    hjorthSpectMoment(x, sfreq, normalize, psdMethod, 2, psd)
 
   /** compute_hjorth_complexity_spect (univariate.py:839-890): f^4 weights. */
   def hjorthComplexitySpect(x: Array[Double], sfreq: Double, normalize: Boolean,
-                            psdMethod: String): Double =
-    hjorthSpectMoment(x, sfreq, normalize, psdMethod, 4)
+                            psdMethod: String, psd: PsdConf = PsdConf()): Double =
+    hjorthSpectMoment(x, sfreq, normalize, psdMethod, 4, psd)
 
   private def hjorthSpectMoment(x: Array[Double], sfreq: Double,
                                 normalize: Boolean, psdMethod: String,
-                                pw: Int): Double = {
-    val sp = Psd.compute(x, sfreq, psdMethod)
+                                pw: Int, psd: PsdConf = PsdConf()): Double = {
+    val sp = psd.copy(method = psdMethod).spectrum(x, sfreq)
     val terms = new Array[Double](sp.psd.length)
     var i = 0
     while (i < terms.length) {
@@ -368,8 +378,9 @@ object Features {
   /** compute_spect_entropy (univariate.py:1122-1163): Shannon entropy
     * (log2) of psd[1:] normalized by the FULL total (DC excluded from the
     * entropy sum but included in the normalizer). */
-  def spectEntropy(x: Array[Double], sfreq: Double, psdMethod: String): Double = {
-    val sp = Psd.compute(x, sfreq, psdMethod)
+  def spectEntropy(x: Array[Double], sfreq: Double, psdMethod: String,
+                   psd: PsdConf = PsdConf()): Double = {
+    val sp = psd.copy(method = psdMethod).spectrum(x, sfreq)
     val m = pairwiseSum(sp.psd)
     val terms = new Array[Double](sp.psd.length - 1)
     var i = 1
@@ -385,8 +396,8 @@ object Features {
     * log10(freqs) over [fmin, fmax]; returns [intercept, slope, MSE, R2]
     * (R2 = explained_variance_score = 1 - var(resid)/var(y)). */
   def spectSlope(x: Array[Double], sfreq: Double, fmin: Double, fmax: Double,
-                 psdMethod: String): Array[Double] = {
-    val sp = Psd.compute(x, sfreq, psdMethod)
+                 psdMethod: String, psd: PsdConf = PsdConf()): Array[Double] = {
+    val sp = psd.copy(method = psdMethod).spectrum(x, sfreq)
     val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
@@ -433,8 +444,9 @@ object Features {
     * reference power = sum up to the first bin >= ref_freq (inclusive);
     * per edge p: first bin where cumsum >= p * ref_pow, else -1. */
   def spectEdgeFreq(x: Array[Double], sfreq: Double, refFreq: Double,
-                    edges: Array[Double], psdMethod: String): Array[Double] = {
-    val sp = Psd.compute(x, sfreq, psdMethod)
+                    edges: Array[Double], psdMethod: String,
+                    psd: PsdConf = PsdConf()): Array[Double] = {
+    val sp = psd.copy(method = psdMethod).spectrum(x, sfreq)
     val n = sp.psd.length
     var idxRef = 0
     while (idxRef < n && sp.freqs(idxRef) < refFreq) idxRef += 1

@@ -35,7 +35,14 @@ case class FeatureParams(
     fmax: Double = 50.0,
     refFreq: Double = -1.0, // -1 => sfreq / 2 (reference default)
     edges: Seq[Double] = Seq(0.5),
-    derivFilt: Boolean = true) {
+    derivFilt: Boolean = true,
+    // welch psd_params (reference utils.py:180-211)
+    welchNFft: Int = 256,
+    welchNPerSeg: Int = -1, // -1 => n_fft
+    welchNOverlap: Int = 0) {
+
+  def psdConf: graft.core.PsdConf =
+    graft.core.PsdConf(psdMethod, welchNFft, welchNPerSeg, welchNOverlap)
 
   def bands: Array[(Double, Double)] =
     if (bandPairs.nonEmpty) bandPairs.toArray
@@ -75,11 +82,13 @@ object FeatureCatalog {
       (x, p) => Features.decorrTime(x, p.sfreq)),
     "pow_freq_bands" -> FeatureDef(vector = true, 4,
       (x, p) => Features.powFreqBands(x, p.sfreq, p.bands, p.normalize,
-        p.ratios, p.ratiosTriu, p.psdMethod, p.logOut)),
+        p.ratios, p.ratiosTriu, p.psdMethod, p.logOut, p.psdConf)),
     "hjorth_mobility_spect" -> FeatureDef(vector = false, 4,
-      (x, p) => Features.hjorthMobilitySpect(x, p.sfreq, p.normalize, p.psdMethod)),
+      (x, p) => Features.hjorthMobilitySpect(x, p.sfreq, p.normalize,
+        p.psdMethod, p.psdConf)),
     "hjorth_complexity_spect" -> FeatureDef(vector = false, 4,
-      (x, p) => Features.hjorthComplexitySpect(x, p.sfreq, p.normalize, p.psdMethod)),
+      (x, p) => Features.hjorthComplexitySpect(x, p.sfreq, p.normalize,
+        p.psdMethod, p.psdConf)),
     "hjorth_mobility" -> FeatureDef(vector = false, 2,
       (x, _) => Features.hjorthMobility(x)),
     "hjorth_complexity" -> FeatureDef(vector = false, 3,
@@ -92,18 +101,19 @@ object FeatureCatalog {
     "line_length" -> FeatureDef(vector = false, 2,
       (x, _) => Features.lineLength(x)),
     "spect_entropy" -> FeatureDef(vector = false, 4,
-      (x, p) => Features.spectEntropy(x, p.sfreq, p.psdMethod)),
+      (x, p) => Features.spectEntropy(x, p.sfreq, p.psdMethod, p.psdConf)),
     "svd_entropy" -> FeatureDef(vector = false, 16,
       (x, p) => Features.svdEntropy(x, p.tau, p.emb)),
     "svd_fisher_info" -> FeatureDef(vector = false, 16,
       (x, p) => Features.svdFisherInfo(x, p.tau, p.emb)),
     "spect_slope" -> FeatureDef(vector = true, 8,
-      (x, p) => Features.spectSlope(x, p.sfreq, p.fmin, p.fmax, p.psdMethod)),
+      (x, p) => Features.spectSlope(x, p.sfreq, p.fmin, p.fmax, p.psdMethod,
+        p.psdConf)),
     "energy_freq_bands" -> FeatureDef(vector = true, 8,
       (x, p) => Features.energyFreqBands(x, p.sfreq, p.bands, p.derivFilt)),
     "spect_edge_freq" -> FeatureDef(vector = true, 4,
       (x, p) => Features.spectEdgeFreq(x, p.sfreq, p.refFreqOr,
-        p.edges.toArray, p.psdMethod)),
+        p.edges.toArray, p.psdMethod, p.psdConf)),
     "wavelet_coef_energy" -> FeatureDef(vector = true, 8,
       (x, _) => Features.waveletCoefEnergy(x)),
     "teager_kaiser_energy" -> FeatureDef(vector = true, 16,

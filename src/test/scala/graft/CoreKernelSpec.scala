@@ -212,6 +212,32 @@ class CoreKernelSpec extends AnyFunSuite {
       assert(math.abs(lhs - acc / n) < 1e-8 * math.max(1, lhs), s"parseval n=$n")
     }
   }
+  test("welch PSD: density integrates to signal variance (Parseval), " +
+    "tones at 5/33 Hz dominate") {
+    val sp = Psd.compute(dataSin, sfreq, "welch")
+    val df = sp.freqs(1) - sp.freqs(0)
+    val integral = sp.psd.sum * df
+    val varSig = graft.core.NumKit.variance(dataSin, 0)
+    assert(math.abs(integral - varSig) / varSig < 0.1,
+      s"welch integral $integral vs variance $varSig")
+    // tone mass: with n_fft=256 the grid is 2 Hz, so the 5 Hz tone leaks
+    // into the 4/6 bins — check band mass ratios instead of bin peaks
+    def band(lo: Double, hi: Double) =
+      sp.psd.zip(sp.freqs).filter { case (_, f) => f >= lo && f <= hi }.map(_._1).sum
+    val tot = sp.psd.sum
+    assert(math.abs(band(3, 7) / tot - p1 / (p1 + p2)) < 0.1,
+      s"5Hz band mass ${band(3, 7) / tot}")
+    assert(math.abs(band(31, 35) / tot - p2 / (p1 + p2)) < 0.1,
+      s"33Hz band mass ${band(31, 35) / tot}")
+    // psd_params routing: n_per_seg = 128 with 64 overlap also integrates
+    val sp2 = Psd.compute(dataSin, sfreq, "welch", welchNFft = 256,
+      welchNPerSeg = 128, welchNOverlap = 64)
+    val int2 = sp2.psd.sum * (sp2.freqs(1) - sp2.freqs(0))
+    // short segments + per-segment de-mean lose tone power to scalloping;
+    // coarse sanity bound only (exact parity contract is psd_method='fft')
+    assert(math.abs(int2 - varSig) / varSig < 0.3)
+  }
+
   test("unbiased autocorr lag0 = 1") {
     val rng = new graft.gen.SplitMix64(5L)
     val x = Array.fill(100)(rng.nextGaussian())
