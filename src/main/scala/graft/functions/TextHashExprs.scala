@@ -51,6 +51,55 @@ object MinHashExpr {
   }
 }
 
+/** Word n-gram shingle hashes of a text column in one pass: lowercase,
+  * whitespace-split, rolling window of n words, 64-bit FNV-1a over the
+  * joined gram; distinct + sorted for set semantics. Replaces an
+  * interpreted transform(sequence)+hash(concat_ws(slice)) pipeline that
+  * re-walked the word array per gram. */
+case class ShinglesExpr(child: Expression, n: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase.trim
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val m = math.max(words.length - n + 1, 0)
+    val out = new Array[Long](math.max(m, if (words.nonEmpty) 1 else 0))
+    if (words.nonEmpty && m == 0) {
+      out(0) = ShinglesExpr.fnv(words.mkString(" "))
+    } else {
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        out(i) = ShinglesExpr.fnv(sb.toString)
+        i += 1
+      }
+    }
+    val distinct = out.distinct
+    java.util.Arrays.sort(distinct)
+    new GenericArrayData(distinct)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object ShinglesExpr {
+  def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < s.length) { h ^= s.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+}
+
 /** 64-bit SimHash over whitespace tokens of a text column, one pass. */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -27,14 +27,11 @@ object DedupOps {
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keep_doc_id"))
 
-  /** Word 3-gram shingle hashes (distinct, sorted for determinism). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => hash(concat_ws(" ", slice(words, i + 1, lit(n)))).cast("long"))
-    array_sort(array_distinct(grams))
-  }
+  /** Word 3-gram shingle hashes (distinct, sorted): single-pass kernel. */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
 
   private val MinHashK = 64
   private val Bands = 16
