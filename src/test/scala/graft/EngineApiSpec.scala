@@ -54,6 +54,13 @@ class EngineApiSpec extends AnyFunSuite {
     assert(udfOut.columns.contains("n_higher_than_mean__ch0"))
   }
 
+  test("SparkEntry.entry flagship returns rows (driver smoke contract)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("hjorth_mobility") && df.columns.contains("spect_entropy"))
+  }
+
   test("SQL registration: graft_* functions usable from spark.sql") {
     graft.functions.registerAll(spark, FeatureParams(scale = scale))
     TokenGen.fixtures(spark).createOrReplaceTempView("tok")
