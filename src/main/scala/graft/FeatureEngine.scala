@@ -43,6 +43,7 @@ object FeatureEngine {
     p("welch_n_fft").foreach(v => out = out.copy(welchNFft = v.toInt))
     p("welch_n_per_seg").foreach(v => out = out.copy(welchNPerSeg = v.toInt))
     p("welch_n_overlap").foreach(v => out = out.copy(welchNOverlap = v.toInt))
+    p("epoch_len").foreach(v => out = out.copy(epochLen = v.toInt))
     out
   }
 
@@ -71,10 +72,15 @@ object FeatureEngine {
       case "spect_edge_freq" =>
         if (p.edges.size == 1) Seq(s"${alias}__$ch")
         else p.edges.indices.map(i => s"${alias}__${ch}__$i")
+      // wavelet-family widths follow the decomposition depth for the
+      // DECLARED epoch length (p.epochLen) — not a hard-coded n>=448
+      // assumption; epochs shorter than declared yield NULL tail columns.
       case "wavelet_coef_energy" =>
-        (0 until 6).map(i => s"${alias}__${ch}__$i") // levdec at n>=448 is 6
+        (0 until graft.core.Dwt.refLevel(p.epochLen))
+          .map(i => s"${alias}__${ch}__$i")
       case "teager_kaiser_energy" =>
-        (0 to 6).flatMap(i => Seq("mean", "std").map(s => s"${alias}__${ch}__${i}_$s"))
+        (0 to graft.core.Dwt.refLevel(p.epochLen))
+          .flatMap(i => Seq("mean", "std").map(s => s"${alias}__${ch}__${i}_$s"))
       case _ => Seq(s"${alias}__$ch")
     }
 

@@ -231,8 +231,11 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashSignatures(TextOps.docs(s, dir)).orderBy("doc_id")),
+    // exact Jaccard verification over the MinHash-LSH candidate set (the
+    // real dedup path: LSH candidates -> exact set similarity)
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccardAdjacent(TextOps.docs(s, dir)).orderBy("doc_a")),
+      DedupOps.ngramJaccardLsh(TextOps.docs(s, dir), 0.2)
+        .orderBy("doc_a", "doc_b")),
     // welch PSD path (the reference's default psd_method)
     "q_spect_entropy_welch" -> ((s, dir) =>
       sig(s, dir).select(col("user_id"),
@@ -251,6 +254,71 @@ object SparkEntry {
     "q_biv_phase_lock_val" -> ((s, dir) => bivQ(s, dir, "phase_lock_val")),
     "q_biv_max_cross_corr" -> ((s, dir) => bivQ(s, dir, "max_cross_corr")),
     "q_biv_spect_corr" -> ((s, dir) => bivQ(s, dir, "spect_corr")),
+    "q_biv_nonlin_interdep" -> ((s, dir) => bivQ(s, dir, "nonlin_interdep")),
+
+    // ---- north-rule engine gates: codec round-trip + checkpoint-resume ----
+    // Gorilla (values) and delta-of-delta (timestamps) are lossless: the
+    // decode∘encode image of each per-event_type ordered series must equal
+    // the raw series — the oracle computes the same aggregates directly.
+    "q_codec_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val series = ev.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("evs"))
+        .select(col("event_type"), col("evs.value").as("vals"),
+          transform(col("evs"),
+            e => unix_timestamp(e.getField("ts"))).as("tss"))
+      series
+        .withColumn("vdec", graft.functions.gorilla_decode(
+          graft.functions.gorilla_encode(col("vals"))))
+        .withColumn("tdec", graft.functions.dod_decode(
+          graft.functions.dod_encode(col("tss"))))
+        .select(col("event_type"),
+          size(col("vdec")).cast("long").as("n"),
+          duckRound(aggregate(col("vdec"), lit(0.0), (a, v) => a + v), 6).as("vsum"),
+          duckRound(element_at(col("vdec"), 1), 6).as("vfirst"),
+          duckRound(element_at(col("vdec"), -1), 6).as("vlast"),
+          aggregate(col("tdec"), lit(0L), (a, v) => a + v).as("ts_sum"))
+        .orderBy("event_type")
+    }),
+
+    // Checkpoint-resume equivalence: run the manifest-committed rollup on a
+    // day-1 prefix (simulating an interrupted job), then resume over the
+    // full input; the manifest-reassembled 1h tier must equal the direct
+    // 1h aggregate the oracle computes. Exercises TableIO commit/resume +
+    // the mergeable-state cascade end to end.
+    "q_resume_equivalence" -> ((s, dir) => {
+      val root = "/tmp/graft_resume_gate"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(root))
+      val ev = centsEvents(s, dir)
+      val tok = ev
+        .groupBy(col("event_type").as("source"),
+          window(col("ts"), "10 minutes")("start").as("event_time"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("c")))).as("evs"))
+        .select(col("source"), col("event_time"),
+          concat(col("source"), lit("_"),
+            unix_timestamp(col("event_time"))).as("doc_id"),
+          transform(col("evs"), e => e.getField("c").cast("int")).as("tokens"))
+        .withColumn("n_tok", size(col("tokens")))
+      val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
+        tiers = Seq("1h" -> "1 hour"), jobId = "resume-gate")
+      val dayCol = unix_timestamp(date_trunc("day", col("event_time")))
+      val firstDay = tok.select(dayCol.as("d")).agg(min(col("d")))
+        .collect()(0).getLong(0)
+      graft.engine.RollupJob.run(s, tok.where(dayCol === firstDay), conf)
+      graft.engine.RollupJob.run(s, tok, conf) // resume: remaining days only
+      val feats = new graft.table.TableIO(root).read(s, "1h").get
+      feats.select(col("source").as("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_s"),
+        col("n_samples").cast("long").as("n"),
+        (col("mean") / 100.0).as("mean"))
+        .orderBy("event_type", "bucket_s")
+    }),
 
     "q_ann_cosine_top1" -> ((s, dir) =>
       AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
@@ -259,7 +327,7 @@ object SparkEntry {
     "q_ann_ivf_top1" -> ((s, dir) =>
       AnnOps.ivfTop1(AnnOps.embeddings(s, dir)).orderBy("query_id")),
     "q_embed_near_dup" -> ((s, dir) =>
-      DedupOps.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.5)
+      DedupOps.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
         .orderBy("id_a", "id_b"))
   )
 
@@ -454,6 +522,26 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
            min(doc_id) AS keep_doc_id
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    "q_codec_roundtrip" ->
+      """WITH g AS (SELECT event_type, list(value ORDER BY ts, event_id) AS l,
+                    list(floor(epoch(ts))::BIGINT ORDER BY ts, event_id) AS t
+             FROM events GROUP BY 1)
+         SELECT event_type, len(l)::BIGINT AS n, round(list_sum(l), 6) AS vsum,
+           round(l[1], 6) AS vfirst, round(l[-1], 6) AS vlast,
+           list_sum(t)::BIGINT AS ts_sum
+         FROM g ORDER BY event_type""",
+    // rows (= 10-minute docs) below the mergeable state's n >= 2 minimum
+    // are excluded on both sides (the engine's documented row precondition)
+    "q_resume_equivalence" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c,
+                    count(*) OVER (PARTITION BY event_type,
+                      time_bucket(INTERVAL 10 MINUTE, ts)) AS gn
+              FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean
+         FROM c WHERE gn >= 2 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_ann_cosine_top1" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),
          sims AS (

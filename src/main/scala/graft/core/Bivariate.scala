@@ -113,6 +113,18 @@ object Bivariate {
     * mean kNN squared-distance ratios; kNN includes self (distance 0). */
   def nonlinInterdep(chans: Array[Array[Double]], tau: Int = 2, emb: Int = 10,
                      nn: Int = 5, includeDiag: Boolean = false): Array[Double] = {
+    pairs(chans.length, includeDiag).map { case (ci, cj) =>
+      val ex = embed(chans(ci), emb, tau)
+      val ey = embed(chans(cj), emb, tau)
+      // kNN needs more embedding rows than neighbours (sklearn raises on
+      // n_neighbors >= n_samples); NaN maps to SQL NULL in TokenBivariate
+      if (ex.length <= nn || ey.length <= nn) Double.NaN
+      else nonlinPair(ex, ey, nn)
+    }
+  }
+
+  private def nonlinPair(ex: Array[Array[Double]], ey: Array[Array[Double]],
+                         nn: Int): Double = {
     def sqdist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0
       var i = 0
@@ -127,9 +139,7 @@ object Bivariate {
         ds.sortBy(t => (t._1, t._2)).take(k).map(_._2)
       }
     }
-    pairs(chans.length, includeDiag).map { case (ci, cj) =>
-      val ex = embed(chans(ci), emb, tau)
-      val ey = embed(chans(cj), emb, tau)
+    {
       val idxX = knnIdx(ex, nn)
       val idxY = knnIdx(ey, nn)
       val m = ex.length
@@ -195,10 +205,12 @@ object Bivariate {
                includeDiag: Boolean = false): Array[Double] =
     corrFeatures(scaleAcrossChannels(chans), withEigenvalues, includeDiag)
 
-  /** compute_spect_corr (bivariate.py:331-396): same on per-channel PSDs. */
+  /** compute_spect_corr (bivariate.py:331-396): same on per-channel PSDs.
+    * psd_method default 'welch' matches the reference signature
+    * (bivariate.py:334). */
   def spectCorr(chans: Array[Array[Double]], sfreq: Double,
                 withEigenvalues: Boolean = true, includeDiag: Boolean = false,
-                psdMethod: String = "fft"): Array[Double] = {
+                psdMethod: String = "welch"): Array[Double] = {
     val psds = chans.map(c => Psd.compute(c, sfreq, psdMethod).psd)
     corrFeatures(scaleAcrossChannels(psds), withEigenvalues, includeDiag)
   }

@@ -442,7 +442,14 @@ object Features {
 
   /** compute_spect_edge_freq (univariate.py:1412-1483): cumulative psd;
     * reference power = sum up to the first bin >= ref_freq (inclusive);
-    * per edge p: first bin where cumsum >= p * ref_pow, else -1. */
+    * per edge p: first bin where cumsum >= p * ref_pow, else -1.
+    *
+    * Documented deviation: when NO bin reaches ref_freq (odd-length
+    * signals have max freq < sfreq/2) the reference raises IndexError
+    * (np.where(...)[0][0] on an empty match); this engine clamps the
+    * reference index to the last bin, i.e. ref power = total power —
+    * the natural continuous limit, and the behaviour the DuckDB-gated
+    * query oracles replicate. */
   def spectEdgeFreq(x: Array[Double], sfreq: Double, refFreq: Double,
                     edges: Array[Double], psdMethod: String,
                     psd: PsdConf = PsdConf()): Array[Double] = {

@@ -52,7 +52,12 @@ object RollupJob {
     var finer: Option[DataFrame] = None
 
     conf.tiers.foreach { case (tierName, win) =>
+      // A day is done only when BOTH of its commits landed (features, then
+      // chunks). A crash between the two leaves the day pending, so the
+      // resume re-runs it — the feature re-commit is last-commit-wins on
+      // the same bucket, keeping the documented idempotence contract.
       val done = io.doneBuckets(tierName)
+        .intersect(io.doneBuckets(s"$tierName-chunks"))
       val pending = allDays.filterNot(done.contains)
 
       val fresh: Option[DataFrame] = if (pending.isEmpty) None else Some {

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Single-pass embedding kernels. The interpreted alternative (stacked
+  * `aggregate(zip_with(...))` higher-order functions) walks the vector once
+  * per accumulator with per-element lambda dispatch; these walk it once
+  * total, which matters when the operator is the hot inner loop of an
+  * all-pairs or LSH candidate join.
+  */
+
+/** Cosine similarity of two double arrays. Accumulation is sequential
+  * left-to-right per accumulator — bit-identical to DuckDB's
+  * list_cosine_similarity and to the zip_with/aggregate formulation it
+  * replaces. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i) * y(i)
+      nx += x(i) * x(i)
+      ny += y(i) * y(i)
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH band signatures: for each band b, an integer whose
+  * bit j is sign(v . plane[b*bitsPerBand + j]). One pass over the planes,
+  * vector loaded once. Planes are constructor constants so the expression
+  * canonicalizes (equal seeds => equal plans => subexpression elimination).
+  */
+case class HyperplaneBandSigExpr(child: Expression,
+                                 planes: Seq[Seq[Double]],
+                                 bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val nBands = planeArr.length / bitsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val p = planeArr(b * bitsPerBand + j)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(v.length, p.length)
+        while (i < n) { dot += v(i) * p(i); i += 1 }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -100,6 +100,48 @@ object ShinglesExpr {
   }
 }
 
+/** Polynomial rolling-hash document fingerprint over whitespace tokens:
+  * h = (h * B + fnv(word) mod P) mod P with B=131, P=2147483629 (31-bit
+  * prime — every intermediate fits int64, and the DuckDB oracle replicates
+  * the arithmetic exactly). One pass per row. */
+case class FingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    val P = FingerprintExpr.P
+    val B = FingerprintExpr.B
+    var h = 0L
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          var wh = 0xcbf29ce484222325L // FNV-1a 64 over the word
+          var j = start
+          while (j < i) { wh ^= text.charAt(j).toLong; wh *= 0x100000001b3L; j += 1 }
+          wh ^= wh >>> 33; wh *= 0xff51afd7ed558ccdL; wh ^= wh >>> 33
+          val wp = ((wh % P) + P) % P
+          h = (h * B + wp) % P
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object FingerprintExpr {
+  val P: Long = 2147483629L // prime < 2^31
+  val B: Long = 131L
+}
+
 /** 64-bit SimHash over whitespace tokens of a text column, one pass. */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -39,7 +39,12 @@ case class FeatureParams(
     // welch psd_params (reference utils.py:180-211)
     welchNFft: Int = 256,
     welchNPerSeg: Int = -1, // -1 => n_fft
-    welchNOverlap: Int = 0) {
+    welchNOverlap: Int = 0,
+    // declared epoch length: drives the OUTPUT ARITY of the wavelet-family
+    // features (decomposition depth = min(floor(log2(n/7)), 6) depends on
+    // n). Callers with shorter epochs must declare it or the extra columns
+    // come back NULL (element_at past the kernel's actual output).
+    epochLen: Int = 1024) {
 
   def psdConf: graft.core.PsdConf =
     graft.core.PsdConf(psdMethod, welchNFft, welchNPerSeg, welchNOverlap)

@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
 object AnnOps {
 
   /** Sequential-sum cosine — same left-to-right arithmetic as the DuckDB
-    * oracle's list_cosine_similarity, so graft.functions.duckRound(,5) hash-matches. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = aggregate(a, lit(0.0), (s, v) => s + v * v)
-    val nb = aggregate(b, lit(0.0), (s, v) => s + v * v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+    * oracle's list_cosine_similarity, so graft.functions.duckRound(,5)
+    * hash-matches. Single-pass kernel (functions.CosineSimExpr): one walk
+    * of both vectors instead of three stacked interpreted HOF passes. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CosineSimExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -47,17 +48,59 @@ object AnnOps {
         col("rk"))
   }
 
+  /** Lloyd k-means over a bounded deterministic sample (collected to the
+    * driver — the sample is what bounds driver memory, not the corpus).
+    * Cosine-normalized vectors, stride-seeded initial centroids, fixed
+    * iteration count: fully deterministic. This is the production path for
+    * skewed embedding distributions; the gated query uses the plain stride
+    * centroids because those are DuckDB-expressible. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 10,
+                      sampleCap: Int = 4096): Array[Array[Double]] = {
+    val sample = emb.orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    cents
+  }
+
   /** IVF-bucketed approximate top-1: nLists deterministic centroids from
-    * the corpus itself (every (n/nLists)-th vector by id — a seeded sample
-    * stand-in for k-means), corpus assigned to nearest centroid, queries
-    * probe nProbe cells. */
+    * the corpus itself (every (n/nLists)-th vector by ascending id — a
+    * seeded sample; see kmeansCentroids for the skew-robust variant),
+    * corpus assigned to nearest centroid, queries probe nProbe cells. */
   def ivfTop1(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
               queryMod: Int = 50): DataFrame = {
     val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(n / nLists, 1L)
+    // sort before limit: an unordered distributed limit is not stable
+    // across partitioning changes, and the centroid set must be
+    // reproducible for the DuckDB oracle
     val centroids = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .limit(nLists)
+      .orderBy(col("vec_id")).limit(nLists)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .collect()
     val cvs = centroids.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
   *   self-join. Candidate generation touches only band-bucket groups with
   *   >1 member, so the cross product never materializes; estimated
   *   Jaccard = fraction of agreeing minhash slots, verified exactly only
-  *   for emitted candidates.
+  *   for emitted candidates. Buckets are the band's minhash slice itself
+  *   (array-equality join key): no re-hash, and the whole pipeline is
+  *   replicable in the DuckDB oracle.
+  * - Hot buckets: boilerplate/template text puts m near-identical docs in
+  *   one bucket and the self-join emits O(m^2) pairs — a straggler at
+  *   100 TB. Buckets beyond `maxBucket` members keep only the first
+  *   `maxBucket` docs by doc_id (documented recall cap; near-dup groups
+  *   that large are resolved transitively through the kept members).
   * - SimHash: 64-bit signature per doc via signed bit-vote over token
   *   hashes; near-dup candidates from 4x16-bit band equality (Hamming <= 3
   *   within a band by pigeonhole when distance <= 3 overall).
-  * - n-gram Jaccard: exact set Jaccard on hashed 3-gram shingles for a
-  *   bounded pair set (adjacent doc_ids here; at scale: LSH candidates).
+  * - n-gram Jaccard: exact set Jaccard on hashed 3-gram shingles over the
+  *   MinHash-LSH candidate pairs — the real dedup path (candidates from
+  *   LSH, exact verification on the bounded candidate set).
   */
 object DedupOps {
 
@@ -37,6 +45,9 @@ object DedupOps {
   private val Bands = 16
   private val RowsPerBand = 4
 
+  /** Default per-bucket membership cap (see class doc). */
+  val MaxBucket = 256
+
   /** 64-slot minhash signature of a shingle-hash array (single-pass
     * kernel, functions.MinHashExpr). */
   def minhashSignature(sh: Column): Column =
@@ -44,21 +55,29 @@ object DedupOps {
       graft.functions.MinHashExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(sh), MinHashK))
 
-  /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
-    * minhash slots), threshold-filtered. */
-  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+  /** doc_id -> minhash signature (persisted by callers that reuse it). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+
+  /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
+    * minhash slots), threshold-filtered. */
+  def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5,
+                        maxBucket: Int = MaxBucket): DataFrame = {
+    val sigs = minhashSignatures(docs)
       .persist() // signatures feed both sides of the band self-join
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)), b))))
+        b => slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
+    // hot-bucket cap: rank within (band, bucket) by doc_id, keep <= maxBucket
+    val ranked = banded.withColumn("rk", row_number().over(
+      Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
+      .where(col("rk") <= maxBucket)
+    val l = ranked.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
+    val r = ranked.select(col("band"), col("bucket"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
@@ -82,37 +101,57 @@ object DedupOps {
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
 
-  /** Exact n-gram Jaccard for a bounded candidate pair set; here adjacent
-    * doc_ids (the scale path feeds LSH candidates instead). */
-  def ngramJaccardAdjacent(docs: DataFrame): DataFrame = {
+  /** Exact n-gram Jaccard over the MinHash-LSH candidate pairs: candidates
+    * from the banded signature join (minEstJaccard pre-filter), then exact
+    * set Jaccard on the full shingle sets — verification touches only the
+    * bounded candidate set, never all pairs. */
+  def ngramJaccardLsh(docs: DataFrame, minEstJaccard: Double = 0.2): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val next = sh.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh_b"))
-    sh.join(next, "doc_id")
-      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"),
-        graft.functions.duckRound(size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh"), col("sh_b"))), 6).as("jaccard"))
+      .where(size(col("sh")) > 0)
+    val cand = minhashCandidates(docs, minEstJaccard)
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.duckRound(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
   }
 
-  /** Embedding cosine near-dup: random-hyperplane LSH bucket join, then
-    * exact cosine on candidates. */
-  def embeddingNearDup(emb: DataFrame, simThreshold: Double = 0.9,
-                       planes: Int = 12): DataFrame = {
-    val dim = 64
+  /** Random-hyperplane LSH parameters for embedding near-dup: 8 bands of
+    * 4 sign bits (32 planes over dim-64 vectors), SplitMix64(7) Gaussian —
+    * shared verbatim with the DuckDB oracle (SparkEntry inlines the same
+    * constants into the SQL). More bits/band at higher scale trades
+    * candidate volume for recall. */
+  val EmbDim = 64
+  val EmbBands = 8
+  val EmbBitsPerBand = 4
+  lazy val hyperplanes: Array[Array[Double]] = {
     val rng = new graft.gen.SplitMix64(7L)
-    val hyper = Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+    Array.fill(EmbBands * EmbBitsPerBand)(Array.fill(EmbDim)(rng.nextGaussian()))
+  }
+
+  /** Embedding cosine near-dup: multi-band random-hyperplane LSH (any-band
+    * bucket equality => candidate), then exact cosine on candidates. */
+  def embeddingNearDup(emb: DataFrame, simThreshold: Double = 0.4): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sigBits = hyper.zipWithIndex.map { case (h, i) =>
-      val dot = aggregate(zip_with(col("v"),
-        array(h.map(lit).toIndexedSeq: _*), (x, y) => x * y),
-        lit(0.0), (acc, t) => acc + t)
-      when(dot > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i)
-    }.reduce(_ + _)
-    val sigs = e.withColumn("bucket", sigBits)
-    val l = sigs.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
-    val r = sigs.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
-    l.join(r, "bucket").where(col("id_a") < col("id_b"))
+    val bandSig = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HyperplaneBandSigExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+        hyperplanes.map(_.toSeq).toSeq, EmbBitsPerBand))
+    val sigs = e.select(col("vec_id"), col("v"),
+      posexplode(bandSig).as(Seq("band", "bucket")))
+    val l = sigs.select(col("band"), col("bucket"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val r = sigs.select(col("band"), col("bucket"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
       .withColumn("cos_sim", AnnOps.cosine(col("va"), col("vb")))
       .where(col("cos_sim") >= simThreshold)
-      .select(col("id_a"), col("id_b"), graft.functions.duckRound(col("cos_sim"), 5).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.duckRound(col("cos_sim"), 5).as("cos_sim"))
   }
 }

@@ -16,27 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object SignalOps {
 
+  /** Hard per-key signal cap: one pathological key (a bot user, a template
+    * source) must not OOM its executor. Signals longer than this keep their
+    * FIRST MaxSeqLen samples in (ts, event_id) order and set `truncated` —
+    * same contract as TokenRollup.holisticFeatures' maxTokens. */
+  val MaxSeqLen: Int = 1 << 20
+
+  private def capped(evs: org.apache.spark.sql.Column, maxSeqLen: Int) =
+    slice(sort_array(evs), 1, maxSeqLen)
+
   /** Per-user signal from the events table, samples ordered by
-    * (ts, event_id) — deterministic total order. */
-  def eventSignals(spark: SparkSession, dir: String): DataFrame = {
+    * (ts, event_id) — deterministic total order, capped at maxSeqLen. */
+  def eventSignals(spark: SparkSession, dir: String,
+                   maxSeqLen: Int = MaxSeqLen): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     ev.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
-        col("value")))).as("evs"))
-      .select(col("user_id"), col("evs.value").as("signal"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("value"))).as("raw"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), capped(col("raw"), maxSeqLen).as("evs"),
+        (col("n_events") > maxSeqLen).as("truncated"))
+      .select(col("user_id"), col("evs.value").as("signal"), col("truncated"))
   }
 
   /** Per (event_type, tumbling window) signal: the holistic-tier shape —
-    * each window's samples concatenated in (ts, event_id) order. */
-  def bucketSignals(spark: SparkSession, dir: String, win: String): DataFrame = {
+    * each window's samples concatenated in (ts, event_id) order, capped. */
+  def bucketSignals(spark: SparkSession, dir: String, win: String,
+                    maxSeqLen: Int = MaxSeqLen): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     ev.groupBy(col("event_type"), window(col("ts"), win).as("w"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
-        col("value")))).as("evs"))
+      .agg(collect_list(struct(col("ts"), col("event_id"),
+        col("value"))).as("raw"), count(lit(1)).as("n_events"))
       .select(col("event_type"),
         unix_timestamp(col("w.start")).as("bucket_s"),
-        col("evs.value").as("signal"))
+        capped(col("raw"), maxSeqLen).as("evs"),
+        (col("n_events") > maxSeqLen).as("truncated"))
+      .select(col("event_type"), col("bucket_s"),
+        col("evs.value").as("signal"), col("truncated"))
   }
 
   /** First-difference array of a signal column (for diff-domain features). */

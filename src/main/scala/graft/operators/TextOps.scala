@@ -63,14 +63,13 @@ object TextOps {
   }
 
   /** Polynomial rolling-hash fingerprint over whitespace tokens (mod a
-    * 31-bit prime — overflow-free in both int64 engines). */
-  def fingerprint(df: DataFrame): DataFrame = {
-    val p = 2147483629L // prime < 2^31
-    val b = 131L
+    * 31-bit prime — overflow-free in both int64 engines, word hash =
+    * FNV-1a + mix so the DuckDB oracle replicates it; single-pass
+    * kernel, functions.FingerprintExpr). */
+  def fingerprint(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
-      aggregate(split(trim(col("text")), "\\s+"),
-        lit(0L),
-        (acc, w) => pmod(acc * b + pmod(hash(w).cast("long"), lit(p)), lit(p)))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.FingerprintExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
         .as("fingerprint"))
-  }
 }

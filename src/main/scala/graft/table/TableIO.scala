@@ -48,7 +48,9 @@ final class TableIO(val root: String) {
     lines.asScala.toSeq.filter(_.nonEmpty).map(parseSnapshot)
   }
 
-  // minimal JSON parsing for our own fixed-shape lines (no external deps)
+  // minimal JSON parsing for our own fixed-shape lines (no external deps).
+  // String fields honour the escapes esc() writes (\" \\ \uXXXX), so a
+  // quoted jobId/tier round-trips instead of truncating at the first '"'.
   private def parseSnapshot(line: String): Snapshot = {
     def field(name: String): String = {
       val i = line.indexOf("\"" + name + "\":")
@@ -56,8 +58,19 @@ final class TableIO(val root: String) {
       val start = i + name.length + 3
       line(start) match {
         case '"' =>
-          val end = line.indexOf('"', start + 1)
-          line.substring(start + 1, end)
+          val sb = new StringBuilder
+          var j = start + 1
+          while (j < line.length && line(j) != '"') {
+            if (line(j) == '\\') {
+              line(j + 1) match {
+                case 'u' =>
+                  sb.append(Integer.parseInt(line.substring(j + 2, j + 6), 16).toChar)
+                  j += 6
+                case c => sb.append(c); j += 2
+              }
+            } else { sb.append(line(j)); j += 1 }
+          }
+          sb.toString
         case '[' =>
           val end = line.indexOf(']', start)
           line.substring(start + 1, end)
@@ -79,16 +92,31 @@ final class TableIO(val root: String) {
   /** Atomically commit a tier DataFrame covering `buckets`. */
   def commit(tier: String, df: DataFrame, buckets: Seq[Long], jobId: String,
              partitionBy: Seq[String] = Seq("source")): Snapshot = synchronized {
+    // tier names become filesystem paths — keep them path- and JSON-safe
+    require(tier.matches("[A-Za-z0-9._-]+"),
+      s"tier '$tier' must match [A-Za-z0-9._-]+")
+    // read() resolves bucket collisions through commit_bucket; enforce the
+    // column at write time instead of failing at read time
+    require(df.columns.contains("commit_bucket"),
+      s"commit('$tier'): DataFrame must carry a commit_bucket column")
     Files.createDirectories(metaDir)
     val id = snapshots().map(_.id).maxOption.getOrElse(0L) + 1
-    val relDir = s"data/$tier/snap-$id"
-    val finalDir = Paths.get(root, relDir)
-    val tmpDir = Paths.get(root, relDir + ".tmp")
-    Files.createDirectories(finalDir.getParent)
-    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
-    writer.mode("overwrite").parquet(tmpDir.toString)
-    val rows = df.sparkSession.read.parquet(tmpDir.toString).count()
-    Files.move(tmpDir, finalDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // A bucket can legitimately finalize to zero rows (every input row
+    // below the state minimum): record it in the manifest (it IS done —
+    // resume must not re-run it forever) but write no data directory
+    // (a 0-row partitioned parquet write has no readable footer).
+    val empty = df.isEmpty
+    val relDir = if (empty) "" else s"data/$tier/snap-$id"
+    val rows = if (empty) 0L else {
+      val finalDir = Paths.get(root, relDir)
+      val tmpDir = Paths.get(root, relDir + ".tmp")
+      Files.createDirectories(finalDir.getParent)
+      val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+      writer.mode("overwrite").parquet(tmpDir.toString)
+      val n = df.sparkSession.read.parquet(tmpDir.toString).count()
+      Files.move(tmpDir, finalDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      n
+    }
     val snap = Snapshot(id, tier, relDir, buckets, rows, jobId,
       System.currentTimeMillis())
     val json = s"""{"id":${snap.id},"tier":"${esc(tier)}","dir":"${esc(relDir)}",""" +
@@ -104,15 +132,16 @@ final class TableIO(val root: String) {
   def read(spark: SparkSession, tier: String): Option[DataFrame] = {
     val snaps = snapshots().filter(_.tier == tier).sortBy(_.id)
     if (snaps.isEmpty) return None
-    // bucket -> winning snapshot id (last commit wins)
+    // bucket -> winning snapshot id (last commit wins, including data-less
+    // zero-row commits: a bucket whose latest commit is empty reads empty)
     val winner = snaps.flatMap(s => s.buckets.map(_ -> s.id)).toMap
-    val dfs = snaps.map { s =>
+    val dfs = snaps.filter(_.dir.nonEmpty).map { s =>
       val keep = s.buckets.filter(b => winner(b) == s.id)
       val df = spark.read.parquet(Paths.get(root, s.dir).toString)
       if (keep.size == s.buckets.size) df
       else df.where(col("commit_bucket").isin(keep: _*))
     }
-    Some(dfs.reduce(_ unionByName _))
+    if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
   }
 
   /** Append per-bucket lineage rows (driver-side, tiny). */

@@ -79,8 +79,11 @@ class BivariateSpec extends AnyFunSuite {
     // scaled copies (exact powers of two): after per-column
     // standardization every row is a constant pattern except the exactly-
     // zero DC column, so correlations collapse to signs of (a_i - mean):
-    // [+1, -1, -1] — same as NumPy on this input
-    val degenerate = Bivariate.spectCorr(biv1, sfreq = 8.0, withEigenvalues = false)
+    // [+1, -1, -1] — same as NumPy on this input. The exactly-zero DC
+    // argument only holds for the demeaned 'fft' PSD (the default is the
+    // reference's 'welch', whose per-segment Hamming window leaks DC).
+    val degenerate = Bivariate.spectCorr(biv1, sfreq = 8.0,
+      withEigenvalues = false, psdMethod = "fft")
     close(degenerate(0), 1.0, 1e-9)
     close(degenerate(1), -1.0, 1e-9)
     close(degenerate(2), -1.0, 1e-9)

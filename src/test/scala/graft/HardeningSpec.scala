@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnOps, DedupOps, SignalOps}
+import graft.table.TableIO
+
+/** Round-2 hardening: signal caps, manifest robustness, resume gap,
+  * deterministic IVF, SQL-replicable fingerprints, multi-band LSH. */
+class HardeningSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("eventSignals maxSeqLen cap: truncates to first K by (ts, event_id), flags") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val capped = SignalOps.eventSignals(spark, sfDir, maxSeqLen = 10)
+    val full = SignalOps.eventSignals(spark, sfDir)
+    assert(capped.select(max(size(col("signal")))).head.getInt(0) <= 10)
+    assert(capped.where(col("truncated")).count() ==
+      full.where(size(col("signal")) > 10).count())
+    // capped prefix == uncapped prefix for one user (order preserved)
+    val u = full.where(size(col("signal")) > 10)
+      .select(col("user_id"), col("signal")).head
+    val c = capped.where(col("user_id") === u.getLong(0)).head
+    assert(c.getSeq[Double](1) == u.getSeq[Double](1).take(10))
+  }
+
+  test("TableIO: quoted jobId round-trips; commit without commit_bucket rejected") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tio").toString
+    val io = new TableIO(root)
+    val df = Seq((1L, "a", 3.0)).toDF("commit_bucket", "source", "v")
+    io.commit("t1", df, Seq(1L), jobId = """job "quoted" \ backslash""")
+    assert(io.snapshots().head.jobId == """job "quoted" \ backslash""")
+    assert(io.doneBuckets("t1") == Set(1L))
+    val bad = Seq((1L, "a")).toDF("bucket", "source")
+    intercept[IllegalArgumentException] {
+      io.commit("t1", bad, Seq(2L), jobId = "j")
+    }
+    intercept[IllegalArgumentException] {
+      io.commit("bad/tier", df, Seq(3L), jobId = "j")
+    }
+  }
+
+  test("RollupJob resume closes the features-committed/chunks-missing gap") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    val tok = (0 until 48).map { i =>
+      val day = i / 24
+      val ts = java.sql.Timestamp.valueOf(s"2024-01-0${day + 1} ${i % 24}:00:00")
+      (s"d$i", Array.tabulate(16)(j => i * 100 + j * j % 5), 16, "s0", ts)
+    }.toDF("doc_id", "tokens", "n_tok", "source", "event_time")
+    val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
+      tiers = Seq("1h" -> "1 hour"), jobId = "gap")
+    // simulate a crash between the two commits: features for day 1 land,
+    // chunks don't
+    val io = new TableIO(root)
+    val day1 = java.time.LocalDate.of(2024, 1, 1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    val states = graft.engine.TokenRollup.rowStates(
+      tok.where(unix_timestamp(date_trunc("day", col("event_time"))) === day1), 1.0)
+    val feats = graft.engine.TokenRollup.finalizeFeatures(
+      graft.engine.TokenRollup.mergeToBuckets(states, "1 hour",
+        Seq("event_time", "doc_id")))
+      .withColumn("commit_bucket",
+        unix_timestamp(date_trunc("day", col("bucket"))))
+    io.commit("1h", feats, Seq(day1), "gap")
+    assert(io.doneBuckets("1h") == Set(day1) &&
+      io.doneBuckets("1h-chunks").isEmpty)
+    // resume must treat day 1 as pending (chunks missing) and re-run it
+    graft.engine.RollupJob.run(spark, tok, conf)
+    assert(io.doneBuckets("1h-chunks").contains(day1))
+    val readBack = io.read(spark, "1h-chunks").get
+    assert(readBack.select(countDistinct(col("commit_bucket"))).head.getLong(0) == 2)
+  }
+
+  test("kmeansCentroids: deterministic, k cells, unit-ish centroids") {
+    val emb = AnnOps.embeddings(spark, sfDir)
+    val c1 = AnnOps.kmeansCentroids(emb, 8)
+    val c2 = AnnOps.kmeansCentroids(emb, 8)
+    assert(c1.length == 8 && c1.head.length == 64)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    assert(c1.map(_.map(x => x * x).sum).forall(n => n > 0 && n <= 1.000001))
+  }
+
+  test("fingerprint: single-pass kernel, stable across runs, 31-bit range") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a different document")).toDF("doc_id", "text")
+    val fp = graft.operators.TextOps.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    assert(fp.values.forall(v => v >= 0 && v < 2147483629L))
+  }
+
+  test("embeddingNearDup multi-band LSH emits the high-cosine pairs") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = DedupOps.embeddingNearDup(emb, 0.4).collect()
+    assert(out.nonEmpty, "multi-band LSH must emit candidates at 0.4")
+    assert(out.forall(_.getDouble(2) >= 0.4))
+  }
+
+  test("minhash hot-bucket cap bounds pair generation, unchanged results below cap") {
+    val docs = graft.operators.TextOps.docs(spark, sfDir)
+    val uncapped = DedupOps.minhashCandidates(docs, 0.2, maxBucket = DedupOps.MaxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tiny corpus: a cap far above any bucket size changes nothing
+    val big = DedupOps.minhashCandidates(docs, 0.2, maxBucket = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == big)
+    // cap of 1 kills all pairs (no bucket can pair)
+    assert(DedupOps.minhashCandidates(docs, 0.2, maxBucket = 1).count() == 0)
+  }
+}
