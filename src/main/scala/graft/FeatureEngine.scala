@@ -25,7 +25,9 @@ object FeatureEngine {
     var out = base
     p("q").foreach(v => out = out.copy(qs = v.split(",").map(_.trim.toDouble).toSeq))
     p("kmax").foreach(v => out = out.copy(kmax = v.toInt))
-    p("emb").foreach(v => out = out.copy(emb = v.toInt))
+    // alias-scoped, so setting both fields is safe: svd features read
+    // svdEmb, app/samp entropy read emb
+    p("emb").foreach(v => out = out.copy(emb = v.toInt, svdEmb = v.toInt))
     p("tau").foreach(v => out = out.copy(tau = v.toInt))
     p("threshold").foreach(v => out = out.copy(threshold = v.toDouble))
     p("freq_bands").foreach(v =>

@@ -62,9 +62,10 @@ object SparkEntry {
 
   // ---- per-user scalar feature queries (DuckDB-gated) ---------------------
 
-  private def scalarQ(name: String, outCol: String): (SparkSession, String) => DataFrame =
+  private def scalarQ(name: String, outCol: String,
+                      digits: Int = 6): (SparkSession, String) => DataFrame =
     (s, dir) => sig(s, dir)
-      .select(col("user_id"), duckRound(f(name)(col("signal")), 6).as(outCol))
+      .select(col("user_id"), duckRound(f(name)(col("signal")), digits).as(outCol))
       .orderBy("user_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -171,7 +172,10 @@ object SparkEntry {
     "q_svd_fisher_info" -> scalarQ("svd_fisher_info", "svd_fisher_info"),
     "q_decorr_time" -> scalarQ("decorr_time", "decorr_time"),
     "q_hjorth_mobility_spect" -> scalarQ("hjorth_mobility_spect", "hjorth_mobility_spect"),
-    "q_hjorth_complexity_spect" -> scalarQ("hjorth_complexity_spect", "hjorth_complexity_spect"),
+    // f^4 moments are ~4e7: quantize at 2 decimals so the oracle compare
+    // sits far above the FFT-vs-DFT summation-order residue
+    "q_hjorth_complexity_spect" -> scalarQ("hjorth_complexity_spect",
+      "hjorth_complexity_spect", 2),
 
     "q_pow_freq_bands" -> ((s, dir) => {
       val v = f("pow_freq_bands")(col("signal"))
@@ -554,5 +558,5 @@ object SparkEntry {
            FROM sims)
          SELECT query_id, nn_id, round(sim, 5) AS cos_sim FROM ranked WHERE rk = 1
          ORDER BY query_id"""
-  )
+  ) ++ OracleSql.sql // round-2 generated oracles (tools/oracles_r2.py)
 }

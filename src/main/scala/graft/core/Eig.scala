@@ -114,6 +114,8 @@ object Eig {
       a += 1
     }
     val ev = symEigenvalues(gram, d)
-    ev.map(v => math.sqrt(math.max(v, 0.0)))
+    // an m x d matrix has min(m, d) singular values; the Gram route pads
+    // with ~0 eigenvalues when m < d — drop them to match np.linalg.svd
+    ev.take(math.min(m, d)).map(v => math.sqrt(math.max(v, 0.0)))
   }
 }

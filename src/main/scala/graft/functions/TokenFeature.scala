@@ -19,7 +19,9 @@ import graft.core.Features
 case class FeatureParams(
     sfreq: Double = 256.0,
     scale: Double = 1.0,
-    emb: Int = 2,
+    emb: Int = 2,    // app/samp entropy embedding (reference emb=2 default)
+    svdEmb: Int = 10, // SVD-family embedding (reference emb=10 default —
+                      // the two families have DIFFERENT reference defaults)
     tau: Int = 2,
     kmax: Int = 10,
     threshold: Double = 2.220446049250313e-16,
@@ -108,9 +110,9 @@ object FeatureCatalog {
     "spect_entropy" -> FeatureDef(vector = false, 4,
       (x, p) => Features.spectEntropy(x, p.sfreq, p.psdMethod, p.psdConf)),
     "svd_entropy" -> FeatureDef(vector = false, 16,
-      (x, p) => Features.svdEntropy(x, p.tau, p.emb)),
+      (x, p) => Features.svdEntropy(x, p.tau, p.svdEmb)),
     "svd_fisher_info" -> FeatureDef(vector = false, 16,
-      (x, p) => Features.svdFisherInfo(x, p.tau, p.emb)),
+      (x, p) => Features.svdFisherInfo(x, p.tau, p.svdEmb)),
     "spect_slope" -> FeatureDef(vector = true, 8,
       (x, p) => Features.spectSlope(x, p.sfreq, p.fmin, p.fmax, p.psdMethod,
         p.psdConf)),
