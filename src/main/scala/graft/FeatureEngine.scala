@@ -46,6 +46,8 @@ object FeatureEngine {
     p("welch_n_per_seg").foreach(v => out = out.copy(welchNPerSeg = v.toInt))
     p("welch_n_overlap").foreach(v => out = out.copy(welchNOverlap = v.toInt))
     p("epoch_len").foreach(v => out = out.copy(epochLen = v.toInt))
+    p("mt_bandwidth").foreach(v => out = out.copy(mtHalfNbw = v.toDouble))
+    p("mt_low_bias").foreach(v => out = out.copy(mtLowBias = v.toBoolean))
     out
   }
 

@@ -251,6 +251,14 @@ object SparkEntry {
         duckRound(element_at(v, 2), 6).as("band1"),
         duckRound(element_at(v, 5), 6).as("band4")).orderBy("user_id")
     }),
+    // multitaper PSD path over fixed 64-sample prefixes: a single taper
+    // set (n=64) makes the DPSS literals SQL-inlineable for the oracle
+    "q_spect_entropy_mt" -> ((s, dir) =>
+      sig(s, dir).where(size(col("signal")) >= 64)
+        .select(col("user_id"),
+          duckRound(f("spect_entropy", P.copy(psdMethod = "multitaper"))(
+            slice(col("signal"), 1, 64)), 6).as("spect_entropy_mt"))
+        .orderBy("user_id")),
 
     // ---- bivariate (cross-channel) ops: channels = a user's per-event_type
     //      series, truncated to the common min length -------------------

@@ -12,8 +12,19 @@ package graft.core
 object Eig {
 
   /** Eigenvalues of a symmetric matrix (row-major d x d), descending. */
-  def symEigenvalues(mat: Array[Double], d: Int): Array[Double] = {
+  def symEigenvalues(mat: Array[Double], d: Int): Array[Double] =
+    symEigen(mat, d)._1
+
+  /** Full symmetric eigendecomposition (cyclic Jacobi, rotations
+    * accumulated): returns (eigenvalues descending, eigenvectors as rows
+    * matching the value order). O(d^3) per sweep — fine for the small/
+    * medium matrices the engine feeds it (Gram d=10, DPSS tridiagonals up
+    * to a few hundred; cache results for repeated n). */
+  def symEigen(mat: Array[Double], d: Int): (Array[Double], Array[Array[Double]]) = {
     val a = java.util.Arrays.copyOf(mat, mat.length)
+    val v = new Array[Double](d * d)
+    var vi = 0
+    while (vi < d) { v(vi * d + vi) = 1.0; vi += 1 }
     @inline def at(i: Int, j: Int) = a(i * d + j)
     @inline def set(i: Int, j: Int, v: Double): Unit = a(i * d + j) = v
     var sweep = 0
@@ -40,6 +51,11 @@ object Eig {
               val akq = at(k, q)
               set(k, p, c * akp - s * akq)
               set(k, q, s * akp + c * akq)
+              // accumulate the rotation into V (columns p, q)
+              val vkp = v(k * d + p)
+              val vkq = v(k * d + q)
+              v(k * d + p) = c * vkp - s * vkq
+              v(k * d + q) = s * vkp + c * vkq
               k += 1
             }
             k = 0
@@ -58,9 +74,10 @@ object Eig {
       off = offDiag(a, d)
       sweep += 1
     }
-    val ev = Array.tabulate(d)(i => at(i, i))
-    scala.util.Sorting.quickSort(ev)
-    ev.reverse
+    val order = Array.tabulate(d)(identity).sortBy(i => -at(i, i))
+    val values = order.map(i => at(i, i))
+    val vectors = order.map(i => Array.tabulate(d)(k => v(k * d + i)))
+    (values, vectors)
   }
 
   private def offDiag(a: Array[Double], d: Int): Double = {

@@ -3,12 +3,13 @@ package graft.core
 import NumKit._
 
 /** PSD estimation config threaded through the spectral family
-  * (psd_method + the reference's welch_* psd_params). */
+  * (psd_method + the reference's welch_* psd_params + multitaper knobs). */
 final case class PsdConf(method: String = "fft", nFft: Int = 256,
-                         nPerSeg: Int = -1, nOverlap: Int = 0) {
+                         nPerSeg: Int = -1, nOverlap: Int = 0,
+                         mtHalfNbw: Double = 4.0, mtLowBias: Boolean = true) {
   def spectrum(x: Array[Double], sfreq: Double): Psd.Spectrum =
     Psd.compute(x, sfreq, method, welchNFft = nFft, welchNPerSeg = nPerSeg,
-      welchNOverlap = nOverlap)
+      welchNOverlap = nOverlap, mtHalfNbw = mtHalfNbw, mtLowBias = mtLowBias)
 }
 
 /** The 28 univariate per-epoch feature kernels, each an exact semantic port

@@ -26,16 +26,60 @@ object Psd {
   def compute(x: Array[Double], sfreq: Double, method: String,
               fmin: Double = DefaultFmin, fmax: Double = DefaultFmax,
               welchNFft: Int = 256, welchNPerSeg: Int = -1,
-              welchNOverlap: Int = 0): Spectrum = {
+              welchNOverlap: Int = 0, mtHalfNbw: Double = 4.0,
+              mtLowBias: Boolean = true): Spectrum = {
     val fLo = math.max(0.0, fmin)
     val fHi = math.min(fmax, sfreq / 2)
     method match {
       case "fft"   => fftPsd(x, sfreq, fLo, fHi)
       case "welch" => welchPsd(x, sfreq, fLo, fHi, welchNFft, welchNPerSeg,
                                welchNOverlap)
+      case "multitaper" => multitaperPsd(x, sfreq, fLo, fHi, mtHalfNbw,
+                                         mtLowBias)
       case other => throw new IllegalArgumentException(
-        s"psd_method '$other' not supported (valid: fft, welch)")
+        s"psd_method '$other' not supported (valid: fft, welch, multitaper)")
     }
+  }
+
+  /** Multitaper (Thomson) PSD, non-adaptive eigenvalue weighting — the
+    * published estimator behind mne.time_frequency.psd_array_multitaper
+    * (reference utils.py:152-154 delegates psd_method='multitaper' there):
+    * S(f) = 2 / (sfreq * sum(lambda)) * sum_k lambda_k |X_k(f)|^2 with
+    * DPSS tapers (Dpss.tapers: half_nbw default 4, low-bias selection),
+    * DC and Nyquist not doubled. */
+  private def multitaperPsd(x: Array[Double], sfreq: Double, fLo: Double,
+                            fHi: Double, halfNbw: Double,
+                            lowBias: Boolean): Spectrum = {
+    val n = x.length
+    val tp = Dpss.tapers(n, halfNbw, lowBias)
+    val half = n / 2 + 1
+    val acc = new Array[Double](half)
+    var lamSum = 0.0
+    var k = 0
+    while (k < tp.tapers.length) {
+      val taper = tp.tapers(k)
+      val lam = tp.lambdas(k)
+      lamSum += lam
+      val xt = new Array[Double](n)
+      var i = 0
+      while (i < n) { xt(i) = x(i) * taper(i); i += 1 }
+      val (re, im) = Fft.rfft(xt)
+      i = 0
+      while (i < half) {
+        acc(i) += lam * (re(i) * re(i) + im(i) * im(i))
+        i += 1
+      }
+      k += 1
+    }
+    val psd = new Array[Double](half)
+    var i = 0
+    while (i < half) {
+      var v = acc(i) / (sfreq * lamSum)
+      if (i != 0 && !(n % 2 == 0 && i == half - 1)) v *= 2.0
+      psd(i) = v
+      i += 1
+    }
+    mask(psd, Fft.rfftfreq(n, 1.0 / sfreq), fLo, fHi)
   }
 
   private def fftPsd(x: Array[Double], sfreq: Double,

@@ -42,6 +42,10 @@ case class FeatureParams(
     welchNFft: Int = 256,
     welchNPerSeg: Int = -1, // -1 => n_fft
     welchNOverlap: Int = 0,
+    // multitaper knobs (mne psd_array_multitaper: bandwidth=None =>
+    // half_nbw 4, low_bias=True)
+    mtHalfNbw: Double = 4.0,
+    mtLowBias: Boolean = true,
     // declared epoch length: drives the OUTPUT ARITY of the wavelet-family
     // features (decomposition depth = min(floor(log2(n/7)), 6) depends on
     // n). Callers with shorter epochs must declare it or the extra columns
@@ -49,7 +53,8 @@ case class FeatureParams(
     epochLen: Int = 1024) {
 
   def psdConf: graft.core.PsdConf =
-    graft.core.PsdConf(psdMethod, welchNFft, welchNPerSeg, welchNOverlap)
+    graft.core.PsdConf(psdMethod, welchNFft, welchNPerSeg, welchNOverlap,
+      mtHalfNbw, mtLowBias)
 
   def bands: Array[(Double, Double)] =
     if (bandPairs.nonEmpty) bandPairs.toArray

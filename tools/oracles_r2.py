@@ -1048,6 +1048,70 @@ FROM g g2 LEFT JOIN prob ON prob.user_id = g2.user_id ORDER BY g2.user_id"""
     return o
 
 
+# ---- multitaper spectral entropy (fixed n=64 prefix) -----------------------
+
+def dpss_numpy(n=64, half_nbw=4.0, n_tapers=7):
+    """DPSS via the same tridiagonal route as core/Dpss.scala; numpy eigh
+    agrees with the Jacobi solve to ~1e-12 per component, far below the
+    round(,6) gate."""
+    import numpy as np
+    w = half_nbw / n
+    t = np.arange(n)
+    diag = ((n - 1 - 2.0 * t) / 2.0) ** 2 * np.cos(2 * np.pi * w)
+    off = (t[:-1] + 1) * (n - 1.0 - t[:-1]) / 2.0
+    mat = np.diag(diag) + np.diag(off, 1) + np.diag(off, -1)
+    vals, vecs = np.linalg.eigh(mat)
+    order = np.argsort(vals)[::-1][:n_tapers]
+    tapers = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v.sum() < 0 if abs(v.sum()) > 1e-10 else v[np.nonzero(v)[0][0]] < 0:
+            v = -v
+        tapers.append(v / np.sqrt((v * v).sum()))
+    i = np.arange(n)
+    dij = i[:, None] - i[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        A = np.where(dij == 0, 2.0 * w,
+                     np.sin(2 * np.pi * w * dij) / (np.pi * dij))
+    lams = [float(v @ A @ v) for v in tapers]
+    keep = [k for k, l in enumerate(lams) if l > 0.9] or [0]
+    return [list(map(float, tapers[k])) for k in keep], [lams[k] for k in keep]
+
+
+def multitaper_oracle():
+    tapers, lams = dpss_numpy()
+    rows = ", ".join(
+        f"({k}, [{', '.join(repr(x) for x in tp)}]::DOUBLE[], {lams[k]!r})"
+        for k, tp in enumerate(tapers))
+    sql = f"""
+WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l0
+        FROM events GROUP BY user_id HAVING count(*) >= 64),
+  m AS (SELECT user_id, l0[1:64] AS l FROM g),
+  tap(tk, tp, lam) AS (VALUES {rows}),
+  xt AS (SELECT user_id, tk, lam,
+           list_transform(range(1, 65), j -> l[j] * tp[j]) AS w
+         FROM m, tap),
+  sp AS (SELECT user_id, fq.k AS k,
+           sum(lam * (pow(list_sum(list_transform(range(1, 65), j ->
+                 w[j] * cos(2 * pi() * (j - 1) * fq.k / 64))), 2)
+               + pow(list_sum(list_transform(range(1, 65), j ->
+                 w[j] * sin(2 * pi() * (j - 1) * fq.k / 64))), 2))) AS acc
+         FROM xt, (SELECT unnest(range(0, 33)) AS k) fq
+         GROUP BY user_id, fq.k),
+  psd AS (SELECT user_id, k,
+            acc / (256.0 * (SELECT sum(lam) FROM tap))
+              * (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END) AS p
+          FROM sp),
+  tot AS (SELECT user_id, sum(p) AS m0 FROM psd GROUP BY user_id),
+  e AS (SELECT psd.user_id,
+          -sum((p / m0) * (ln(p / m0) / ln(2.0)))
+            FILTER (WHERE k >= 1) AS v
+        FROM psd JOIN tot ON psd.user_id = tot.user_id
+        GROUP BY psd.user_id)
+SELECT user_id, round(v, 6) AS spect_entropy_mt FROM e ORDER BY user_id"""
+    return {"q_spect_entropy_mt": sql}
+
+
 # ---- driver-compare semantics (from check_oracle.py) ---------------------
 
 def norm(rows, cols):
@@ -1110,7 +1174,7 @@ def main(sfdir, outdir, only=None):
     allo = {**oracles(), **spectral_oracles(), **entropy_oracles(),
             **bivariate_oracles(), **embed_oracles(), **fractal_oracles(),
             **wavelet_oracles(), **firwin_oracle(), **nonlin_oracle(),
-            **svd_oracles()}
+            **svd_oracles(), **multitaper_oracle()}
     for name, sql in allo.items():
         if only and name not in only:
             continue
@@ -1122,7 +1186,7 @@ def emit_scala(path):
     allo = {**oracles(), **spectral_oracles(), **entropy_oracles(),
             **bivariate_oracles(), **embed_oracles(), **fractal_oracles(),
             **wavelet_oracles(), **firwin_oracle(), **nonlin_oracle(),
-            **svd_oracles()}
+            **svd_oracles(), **multitaper_oracle()}
     with open(path, "w") as f:
         f.write("package graft\n\n")
         f.write("/** DuckDB oracle SQL for the round-2 gated queries —\n")
