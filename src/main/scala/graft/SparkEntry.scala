@@ -332,6 +332,26 @@ object SparkEntry {
         .orderBy("event_type", "bucket_s")
     }),
 
+    // Multimodal pipeline gate: document payloads as opaque binary media,
+    // batch feature extraction through the real mapPartitions plumbing
+    // (schema + partition-batch iteration); the decode kernel is the
+    // documented deterministic stand-in, so the whole path is oracle-able.
+    "q_multimodal_extract" -> ((s, dir) => {
+      import s.implicits._
+      val media = TextOps.docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("bytes"),
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"), col("source"))
+        .as[graft.operators.MultimodalOps.Media]
+      graft.operators.MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          duckRound(col("brightness"), 6).as("brightness"), col("n_frames"))
+        .orderBy("media_id")
+    }),
+
     "q_ann_cosine_top1" -> ((s, dir) =>
       AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
         .select(col("query_id"), col("nn_id"), col("cos_sim"))

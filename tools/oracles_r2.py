@@ -1112,6 +1112,32 @@ SELECT user_id, round(v, 6) AS spect_entropy_mt FROM e ORDER BY user_id"""
     return {"q_spect_entropy_mt": sql}
 
 
+# ---- multimodal batch-extract gate ------------------------------------------
+
+def multimodal_oracle():
+    fnv = ("list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+           "list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT)), "
+           f"(h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % {M})")
+    sql = f"""
+WITH b AS (SELECT doc_id AS media_id,
+             (['image', 'audio', 'video'])[(doc_id % 3)::INT + 1] AS kind,
+             text, length(text) AS n
+           FROM documents),
+  h AS (SELECT media_id, kind, n, {fnv} AS hu,
+          list_sum(list_transform(string_split(text, ''),
+            c -> unicode(c))) AS s
+        FROM b)
+SELECT media_id, kind, n::INT AS n_bytes,
+  (CASE WHEN hu >= 9223372036854775808::HUGEINT THEN hu - {M}
+        ELSE hu END)::BIGINT AS checksum,
+  round(s::DOUBLE / n / 255.0, 6) AS brightness,
+  (CASE kind WHEN 'video' THEN greatest(n // 512, 1)
+             WHEN 'audio' THEN greatest(n // 64, 1)
+             ELSE 1 END)::INT AS n_frames
+FROM h ORDER BY media_id"""
+    return {"q_multimodal_extract": sql}
+
+
 # ---- driver-compare semantics (from check_oracle.py) ---------------------
 
 def norm(rows, cols):
@@ -1174,7 +1200,7 @@ def main(sfdir, outdir, only=None):
     allo = {**oracles(), **spectral_oracles(), **entropy_oracles(),
             **bivariate_oracles(), **embed_oracles(), **fractal_oracles(),
             **wavelet_oracles(), **firwin_oracle(), **nonlin_oracle(),
-            **svd_oracles(), **multitaper_oracle()}
+            **svd_oracles(), **multitaper_oracle(), **multimodal_oracle()}
     for name, sql in allo.items():
         if only and name not in only:
             continue
@@ -1186,7 +1212,7 @@ def emit_scala(path):
     allo = {**oracles(), **spectral_oracles(), **entropy_oracles(),
             **bivariate_oracles(), **embed_oracles(), **fractal_oracles(),
             **wavelet_oracles(), **firwin_oracle(), **nonlin_oracle(),
-            **svd_oracles(), **multitaper_oracle()}
+            **svd_oracles(), **multitaper_oracle(), **multimodal_oracle()}
     with open(path, "w") as f:
         f.write("package graft\n\n")
         f.write("/** DuckDB oracle SQL for the round-2 gated queries —\n")
