@@ -51,6 +51,13 @@ package object functions {
   def f_higuchi_fd(c: Column, p: FeatureParams = FeatureParams()): Column = feature("higuchi_fd", c, p)
   def f_spect_entropy(c: Column, p: FeatureParams = FeatureParams()): Column = feature("spect_entropy", c, p)
 
+  /** Bounded sorted collect (first maxLen struct values ascending) — the
+    * memory-capped replacement for slice(sort_array(collect_list(...))):
+    * the heap never exceeds maxLen at ANY stage, map-side partials
+    * included. */
+  def bounded_sorted_collect(c: Column, maxLen: Int): Column =
+    col(BoundedSortedCollect(expr(c), maxLen).toAggregateExpression())
+
   /** Mergeable per-row partial state (see TokenPartialsExpr). */
   def token_partials(tokens: Column, scale: Double = 1.0): Column =
     col(TokenPartialsExpr(expr(tokens), scale))

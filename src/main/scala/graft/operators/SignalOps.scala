@@ -22,21 +22,20 @@ object SignalOps {
     * same contract as TokenRollup.holisticFeatures' maxTokens. */
   val MaxSeqLen: Int = 1 << 20
 
-  private def capped(evs: org.apache.spark.sql.Column, maxSeqLen: Int) =
-    slice(sort_array(evs), 1, maxSeqLen)
-
   /** Per-user signal from the events table, samples ordered by
-    * (ts, event_id) — deterministic total order, capped at maxSeqLen. */
+    * (ts, event_id) — deterministic total order, capped at maxSeqLen by
+    * the bounded-heap aggregate (O(maxSeqLen) state at every stage,
+    * map-side partials included — not a post-hoc slice). */
   def eventSignals(spark: SparkSession, dir: String,
                    maxSeqLen: Int = MaxSeqLen): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     ev.groupBy(col("user_id"))
-      .agg(collect_list(struct(col("ts"), col("event_id"),
-        col("value"))).as("raw"), count(lit(1)).as("n_events"))
-      .select(col("user_id"), capped(col("raw"), maxSeqLen).as("evs"),
+      .agg(graft.functions.bounded_sorted_collect(struct(col("ts"),
+        col("event_id"), col("value")), maxSeqLen).as("evs"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("evs.value").as("signal"),
         (col("n_events") > maxSeqLen).as("truncated"))
-      .select(col("user_id"), col("evs.value").as("signal"), col("truncated"))
   }
 
   /** Per (event_type, tumbling window) signal: the holistic-tier shape —
@@ -45,14 +44,13 @@ object SignalOps {
                     maxSeqLen: Int = MaxSeqLen): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     ev.groupBy(col("event_type"), window(col("ts"), win).as("w"))
-      .agg(collect_list(struct(col("ts"), col("event_id"),
-        col("value"))).as("raw"), count(lit(1)).as("n_events"))
+      .agg(graft.functions.bounded_sorted_collect(struct(col("ts"),
+        col("event_id"), col("value")), maxSeqLen).as("evs"),
+        count(lit(1)).as("n_events"))
       .select(col("event_type"),
         unix_timestamp(col("w.start")).as("bucket_s"),
-        capped(col("raw"), maxSeqLen).as("evs"),
+        col("evs.value").as("signal"),
         (col("n_events") > maxSeqLen).as("truncated"))
-      .select(col("event_type"), col("bucket_s"),
-        col("evs.value").as("signal"), col("truncated"))
   }
 
   /** First-difference array of a signal column (for diff-domain features). */

@@ -33,6 +33,24 @@ class HardeningSpec extends AnyFunSuite {
     assert(c.getSeq[Double](1) == u.getSeq[Double](1).take(10))
   }
 
+  test("BoundedSortedCollect == slice(sort_array(collect_list)) across merges") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(13) // force partial states + merges + serde
+    def viaAgg(k: Int) = ev.groupBy(col("user_id"))
+      .agg(graft.functions.bounded_sorted_collect(
+        struct(col("ts"), col("event_id"), col("value")), k).as("evs"))
+      .select(col("user_id"), col("evs.value").as("signal"))
+    def viaSort(k: Int) = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .select(col("user_id"), slice(col("evs.value"), 1, k).as("signal"))
+    for (k <- Seq(5, 1 << 20)) {
+      val a = viaAgg(k).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val b = viaSort(k).collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(a == b, s"k=$k")
+    }
+  }
+
   test("TableIO: quoted jobId round-trips; commit without commit_bucket rejected") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_tio").toString
