@@ -149,8 +149,10 @@ object Bench {
     // runs of the identical binary measured 0.90-1.12). CPU seconds ride
     // along as the noise sentinel: engine work is constant, so
     // cpu >> ~120s flags an interfered pass.
-    val passes = for (round <- 1 to 3; p <- Seq(1, 4)) yield {
-      val (sec, tok, cpu) = timed(p, if (p == 1) 1 else 2)
+    val passes = for (round <- 1 to 4; p <- Seq(1, 4)) yield {
+      // p=4 runs are ~20 s clean: 3 in-JVM runs per child x 4 children
+      // maximizes the chance that at least one lands in a quiet window
+      val (sec, tok, cpu) = timed(p, if (p == 1) 1 else 3)
       System.err.println(f"[bench] pass round=$round p=$p sec=$sec%.3f cpu=$cpu%.3f")
       (p, sec, tok, cpu)
     }
