@@ -161,6 +161,36 @@ object SparkEntry {
         .orderBy("event_type", "bucket_s")
     }),
 
+    // Streaming==batch gate: the SAME 10-minute token docs driven through
+    // the watermarked Structured Streaming tier (AvailableNow -> memory
+    // sink) must reproduce the direct 1h aggregate the oracle computes —
+    // the streaming face of the mergeable state is driver-gated, not just
+    // ScalaTest-gated.
+    "q_streaming_equivalence" -> ((s, dir) => {
+      val src = "/tmp/graft_stream_gate"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(src))
+      val ev = centsEvents(s, dir)
+      ev.groupBy(col("event_type").as("source"),
+        window(col("ts"), "10 minutes")("start").as("event_time"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("c")))).as("evs"))
+        .select(col("source"),
+          col("event_time").cast("timestamp").as("event_time"),
+          transform(col("evs"), e => e.getField("c").cast("int")).as("tokens"))
+        .write.mode("overwrite").parquet(src)
+      val out = graft.streaming.StreamingRollup.runOnce(s, src, "1 hour",
+        "1 minute", 1.0, "graft_stream_gate_" + System.nanoTime())
+      out.select(col("source").as("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_s"),
+        col("n").cast("long").as("n"),
+        (col("mean") / 100.0).as("mean"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
     // ---- spectral / nonlinear features (no ANSI-SQL equivalent:
     //      rows-only driver check; exact parity covered by ScalaTest) ------
     "q_spect_entropy" -> scalarQ("spect_entropy", "spect_entropy"),
@@ -565,6 +595,17 @@ object SparkEntry {
     // rows (= 10-minute docs) below the mergeable state's n >= 2 minimum
     // are excluded on both sides (the engine's documented row precondition)
     "q_resume_equivalence" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c,
+                    count(*) OVER (PARTITION BY event_type,
+                      time_bucket(INTERVAL 10 MINUTE, ts)) AS gn
+              FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean
+         FROM c WHERE gn >= 2 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same direct-aggregate truth, reached through the streaming tier
+    "q_streaming_equivalence" ->
       """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
                     CAST(round(value * 100, 0) AS BIGINT) AS c,
                     count(*) OVER (PARTITION BY event_type,
