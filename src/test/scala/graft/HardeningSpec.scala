@@ -109,6 +109,30 @@ class HardeningSpec extends AnyFunSuite {
     assert(c1.map(_.map(x => x * x).sum).forall(n => n > 0 && n <= 1.000001))
   }
 
+  test("param routing: epoch_len drives wavelet arity; svd/app emb split; mt knobs") {
+    import graft.functions.FeatureParams
+    val p0 = FeatureEngine.resolveParams("wavelet_coef_energy",
+      FeatureParams(), Map("wavelet_coef_energy__epoch_len" -> "64"))
+    assert(FeatureEngine.featureNames("wavelet_coef_energy", p0, "ch0").size ==
+      graft.core.Dwt.refLevel(64)) // 3 detail levels at n=64, not 6
+    assert(FeatureEngine.featureNames("teager_kaiser_energy", p0, "ch0").size ==
+      (graft.core.Dwt.refLevel(64) + 1) * 2)
+    // svd features read svdEmb (reference default 10), app/samp read emb (2)
+    val p1 = FeatureEngine.resolveParams("svd_entropy", FeatureParams(),
+      Map("svd_entropy__emb" -> "4"))
+    assert(p1.svdEmb == 4 && FeatureParams().svdEmb == 10 &&
+      FeatureParams().emb == 2)
+    val p2 = FeatureEngine.resolveParams("spect_entropy", FeatureParams(),
+      Map("spect_entropy__psd_method" -> "multitaper",
+        "spect_entropy__mt_bandwidth" -> "3.5",
+        "spect_entropy__mt_low_bias" -> "false"))
+    assert(p2.psdMethod == "multitaper" && p2.mtHalfNbw == 3.5 && !p2.mtLowBias)
+    // end-to-end: the kernel accepts the routed multitaper config
+    val x = Array.tabulate(96)(t => math.cos(2 * math.Pi * 8 * t / 96.0))
+    val e = graft.core.Features.spectEntropy(x, 256.0, p2.psdMethod, p2.psdConf)
+    assert(e.isFinite && e > 0)
+  }
+
   test("fingerprint: single-pass kernel, stable across runs, 31-bit range") {
     import spark.implicits._
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
