@@ -142,18 +142,26 @@ object TokenRollup {
 
   /** Holistic tier features: per-(source, window) concatenated signal ->
     * non-mergeable kernels. `maxTokens` caps the per-window signal (the
-    * documented holistic contract; excess windows are flagged). */
+    * documented holistic contract; excess windows are flagged).
+    *
+    * The collect is weight-bounded INSIDE the aggregation
+    * (BoundedWeightedCollect): every stage — map-side partials and shuffle
+    * rows included — holds at most ~maxTokens elements per (source,
+    * window), so one pathological window costs O(maxTokens) executor
+    * memory instead of materializing itself before a post-hoc slice. The
+    * exact `truncated` flag comes from a plain sum of token counts. */
   def holisticFeatures(tokens: DataFrame, win: String, params: FeatureParams,
                        features: Seq[String],
                        maxTokens: Int = 4 * 1024 * 1024): DataFrame = {
     val grouped = tokens
       .groupBy(col("source"), window(col("event_time"), win).as("w"))
-      .agg(sort_array(collect_list(struct(col("event_time"), col("doc_id"),
-        col("tokens")))).as("rows"))
+      .agg(graft.functions.bounded_weighted_collect(
+        struct(col("event_time"), col("doc_id"), col("tokens")),
+        maxTokens.toLong, 2).as("rows"),
+        sum(size(col("tokens")).cast("long")).as("total_tokens"))
       .select(col("source"), col("w.start").as("bucket"),
-        flatten(col("rows.tokens")).as("sig"))
-      .withColumn("truncated", size(col("sig")) > maxTokens)
-      .withColumn("sig", slice(col("sig"), 1, maxTokens))
+        slice(flatten(col("rows.tokens")), 1, maxTokens).as("sig"),
+        (col("total_tokens") > maxTokens).as("truncated"))
     features.foldLeft(grouped) { (df, name) =>
       df.withColumn(name, feature(name, col("sig"), params))
     }.drop("sig")

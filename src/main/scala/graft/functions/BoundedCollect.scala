@@ -126,3 +126,138 @@ case class BoundedSortedCollect(
       newChildren: IndexedSeq[Expression]): BoundedSortedCollect =
     copy(child = newChildren.head)
 }
+
+/** Mutable buffer for [[BoundedWeightedCollect]]: the kept rows plus their
+  * cumulative weight (recomputed on deserialize — weights derive from the
+  * rows themselves). */
+final class WeightedHeap(val heap: java.util.PriorityQueue[InternalRow],
+                         var totalWeight: Long)
+
+/** Weight-bounded sorted collect over a STRUCT column whose field
+  * `weightField` is an array: keeps, in ascending struct order, a superset
+  * of the minimal order-prefix of rows whose cumulative array length
+  * reaches `maxWeight` — i.e. exactly the rows a downstream
+  * `slice(flatten(...), 1, maxWeight)` can use, with everything past the
+  * weight horizon evicted EAGERLY at every stage (map-side partials and
+  * shuffle rows included).
+  *
+  * Semantics: equivalent to `sort_array(collect_list(e))` as consumed by a
+  * flatten+slice-to-maxWeight, but buffer memory is O(maxWeight) elements
+  * plus one row instead of O(window size). Eviction rule: the largest kept
+  * row is dropped whenever the strictly-smaller kept rows already weigh
+  * >= maxWeight (it can then never contribute to the prefix). A row's
+  * weight is max(1, array length), so degenerate zero-length arrays still
+  * bound the row count.
+  */
+case class BoundedWeightedCollect(
+    child: Expression,
+    maxWeight: Long,
+    weightField: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[WeightedHeap] {
+
+  require(maxWeight > 0, "maxWeight must be positive")
+
+  @transient private lazy val structType: StructType = child.dataType match {
+    case st: StructType => st
+    case other => throw new IllegalArgumentException(
+      s"graft_bounded_weighted_collect expects a struct child, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "graft_bounded_weighted_collect"
+
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+
+  private def weightOf(row: InternalRow): Long =
+    if (row.isNullAt(weightField)) 1L
+    else math.max(1L, row.getArray(weightField).numElements().toLong)
+
+  private def newBuffer(): WeightedHeap =
+    new WeightedHeap(new java.util.PriorityQueue[InternalRow](16,
+      (a: InternalRow, b: InternalRow) => ordering.compare(b, a)), 0L)
+
+  override def createAggregationBuffer(): WeightedHeap = newBuffer()
+
+  private def insert(buf: WeightedHeap, row: InternalRow, owned: Boolean): Unit = {
+    // skip rows that provably can't reach the prefix even alone is not
+    // possible without global knowledge; insert, then evict from the top
+    buf.heap.add(if (owned) row else row.copy())
+    buf.totalWeight += weightOf(row)
+    var headW = weightOf(buf.heap.peek())
+    while (buf.heap.size > 1 && buf.totalWeight - headW >= maxWeight) {
+      buf.heap.poll()
+      buf.totalWeight -= headW
+      headW = weightOf(buf.heap.peek())
+    }
+  }
+
+  override def update(buf: WeightedHeap, input: InternalRow): WeightedHeap = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow], owned = false)
+    buf
+  }
+
+  override def merge(a: WeightedHeap, b: WeightedHeap): WeightedHeap = {
+    val it = b.heap.iterator()
+    while (it.hasNext) insert(a, it.next(), owned = true)
+    a
+  }
+
+  override def eval(buf: WeightedHeap): Any = {
+    val arr = new Array[InternalRow](buf.heap.size)
+    val it = buf.heap.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(arr,
+      (x: InternalRow, y: InternalRow) => ordering.compare(x, y))
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  @transient private lazy val proj = UnsafeProjection.create(structType)
+  @transient private lazy val writeBuffer = new Array[Byte](4096)
+
+  override def serialize(buf: WeightedHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.heap.size)
+    val it = buf.heap.iterator()
+    while (it.hasNext) {
+      val u = proj(it.next())
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, writeBuffer)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): WeightedHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = newBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val row = new UnsafeRow(structType.length)
+      row.pointTo(b, len)
+      buf.heap.add(row)
+      buf.totalWeight += weightOf(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedWeightedCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedWeightedCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedWeightedCollect =
+    copy(child = newChildren.head)
+}

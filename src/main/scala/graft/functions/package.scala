@@ -58,6 +58,14 @@ package object functions {
   def bounded_sorted_collect(c: Column, maxLen: Int): Column =
     col(BoundedSortedCollect(expr(c), maxLen).toAggregateExpression())
 
+  /** Weight-bounded sorted collect: keeps the ascending order-prefix of
+    * struct rows up to `maxWeight` total elements of the array at struct
+    * field `weightField` (see BoundedWeightedCollect). */
+  def bounded_weighted_collect(c: Column, maxWeight: Long,
+                               weightField: Int): Column =
+    col(BoundedWeightedCollect(expr(c), maxWeight, weightField)
+      .toAggregateExpression())
+
   /** Mergeable per-row partial state (see TokenPartialsExpr). */
   def token_partials(tokens: Column, scale: Double = 1.0): Column =
     col(TokenPartialsExpr(expr(tokens), scale))

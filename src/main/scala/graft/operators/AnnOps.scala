@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column.
   *
   * - bruteForceTopK: exact cosine top-k — broadcast the (small) query set
-  *   against the corpus: one scan, no shuffle of the corpus, per-row
-  *   zip_with/aggregate dot products inside codegen, then a per-query
-  *   top-k window. The 100 TB plan: corpus stays partitioned, queries
-  *   broadcast, k rows per query survive the exchange.
+  *   against the corpus: one scan, no shuffle of the corpus, a single-pass
+  *   cosine kernel, then a MAP-SIDE bounded-heap top-k per query
+  *   (TypedImperativeAggregate with O(k) state): only k rows per query per
+  *   map partition cross the exchange, never the full (query x corpus)
+  *   candidate set — a row_number window here would shuffle every
+  *   similarity row through one hot-keyed exchange.
   * - ivf: IVF-style scale path — k-means-lite centroids (deterministic
   *   seeded sample), assign corpus to nearest centroid (one narrow pass),
   *   probe only the nProbe nearest cells per query.
@@ -40,12 +42,18 @@ object AnnOps {
     val joined = emb.select(col("vec_id").as("nn_id"), col("v").as("nv"))
       .join(broadcast(queries), col("nn_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nn_id").asc)
-    joined.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("nn_id"), graft.functions.duckRound(col("sim"), 5).as("cos_sim"),
-        col("rk"))
+    // bounded-heap partial top-k: ascending (negsim, nn_id) = sim desc with
+    // nn_id tiebreak — identical ranking to the former row_number window,
+    // but with map-side partials so only O(k) rows per query per partition
+    // reach the exchange
+    joined.groupBy(col("query_id"))
+      .agg(graft.functions.bounded_sorted_collect(
+        struct((-col("sim")).as("negsim"), col("nn_id"), col("sim")), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.nn_id").as("nn_id"),
+        graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"),
+        (col("pos") + lit(1)).cast("int").as("rk"))
   }
 
   /** Lloyd k-means over a bounded deterministic sample (collected to the
@@ -121,9 +129,14 @@ object AnnOps {
       .join(broadcast(queries), Seq("cell"))
       .where(col("nn_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("nn_id").asc)
-    cand.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("query_id"), col("nn_id"), graft.functions.duckRound(col("sim"), 5).as("cos_sim"))
+    // map-side top-1: min_by on the (negsim, nn_id) order key is a plain
+    // partial-aggregatable hash aggregate — one tiny struct per query per
+    // partition crosses the exchange (vs a full candidate shuffle under a
+    // row_number window)
+    cand.groupBy(col("query_id"))
+      .agg(min_by(struct(col("nn_id"), col("sim")),
+        struct((-col("sim")).as("negsim"), col("nn_id"))).as("t"))
+      .select(col("query_id"), col("t.nn_id").as("nn_id"),
+        graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"))
   }
 }

@@ -55,18 +55,40 @@ object DedupOps {
       graft.functions.MinHashExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(sh), MinHashK))
 
-  /** doc_id -> minhash signature (persisted by callers that reuse it). */
-  def minhashSignatures(docs: DataFrame): DataFrame =
+  /** doc_id -> distinct sorted shingle hashes (empty docs dropped). */
+  def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(col("text")).as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingled(docs))
+
+  def minhashSignaturesFrom(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
+
+  // The banded self-join reads its input twice (both sides of the join),
+  // so the shingle/minhash pass is persisted. One slot per operator class:
+  // a new call unpersists the previous cache instead of accumulating
+  // blocks across a query suite (ADVICE r2).
+  private val lastCached =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def cacheReplacing(df: DataFrame): DataFrame = {
+    val prev = lastCached.getAndSet(df)
+    if (prev ne null) prev.unpersist(blocking = false)
+    df.persist()
+  }
 
   /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
     * minhash slots), threshold-filtered. */
   def minhashCandidates(docs: DataFrame, minEstJaccard: Double = 0.5,
-                        maxBucket: Int = MaxBucket): DataFrame = {
-    val sigs = minhashSignatures(docs)
-      .persist() // signatures feed both sides of the band self-join
+                        maxBucket: Int = MaxBucket): DataFrame =
+    minhashCandidatesFrom(cacheReplacing(minhashSignatures(docs)),
+      minEstJaccard, maxBucket)
+
+  /** Candidate pairs from a precomputed (doc_id, sig) frame — callers that
+    * also need the shingle sets (ngramJaccardLsh) share one shingle pass. */
+  def minhashCandidatesFrom(sigs: DataFrame, minEstJaccard: Double,
+                            maxBucket: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))))
@@ -106,9 +128,11 @@ object DedupOps {
     * set Jaccard on the full shingle sets — verification touches only the
     * bounded candidate set, never all pairs. */
   def ngramJaccardLsh(docs: DataFrame, minEstJaccard: Double = 0.2): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .where(size(col("sh")) > 0)
-    val cand = minhashCandidates(docs, minEstJaccard)
+    // ONE shingle pass feeds both the signature/banding path and the exact
+    // verification join (the cached frame is read three times)
+    val sh = cacheReplacing(shingled(docs))
+    val cand = minhashCandidatesFrom(minhashSignaturesFrom(sh),
+      minEstJaccard, MaxBucket)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -145,11 +169,14 @@ object DedupOps {
       col("vec_id").as("id_a"), col("v").as("va"))
     val r = sigs.select(col("band"), col("bucket"),
       col("vec_id").as("id_b"), col("v").as("vb"))
+    // cosine is band-invariant, so compute it BEFORE the pair groupBy: the
+    // dedup exchange then carries 8 bytes per banded pair copy instead of
+    // two dim-64 vectors (~1 KB) — the r2 bench's slowest-query fix
     l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"),
+        AnnOps.cosine(col("va"), col("vb")).as("cos_sim"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
-      .withColumn("cos_sim", AnnOps.cosine(col("va"), col("vb")))
+      .agg(max(col("cos_sim")).as("cos_sim"))
       .where(col("cos_sim") >= simThreshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.duckRound(col("cos_sim"), 5).as("cos_sim"))

@@ -161,4 +161,57 @@ class HardeningSpec extends AnyFunSuite {
     // cap of 1 kills all pairs (no bucket can pair)
     assert(DedupOps.minhashCandidates(docs, 0.2, maxBucket = 1).count() == 0)
   }
+
+  test("BoundedWeightedCollect: holisticFeatures == unbounded formulation, " +
+    "state bounded when one window exceeds maxTokens") {
+    import graft.engine.TokenRollup
+    import graft.functions.FeatureParams
+    val bulk = graft.gen.TokenGen.bulk(spark, 400, nSources = 3,
+      minLen = 16, maxLen = 96).repartition(13).persist()
+    val p = FeatureParams(sfreq = 256.0, scale = 1.0 / (1 << 24))
+    def viaOld(maxTokens: Int) = bulk
+      .groupBy(col("source"), window(col("event_time"), "1 hour").as("w"))
+      .agg(sort_array(collect_list(struct(col("event_time"), col("doc_id"),
+        col("tokens")))).as("rows"))
+      .select(col("source"), col("w.start").as("bucket"),
+        flatten(col("rows.tokens")).as("sig"))
+      .withColumn("truncated", size(col("sig")) > maxTokens)
+      .withColumn("sig", slice(col("sig"), 1, maxTokens))
+      .withColumn("line_length", graft.functions.feature("line_length", col("sig"), p))
+      .select(col("source"), col("bucket"), col("truncated"),
+        col("line_length"), size(col("sig")).as("n"))
+    def viaNew(maxTokens: Int) = TokenRollup.holisticFeatures(
+      bulk, "1 hour", p, Seq("line_length"), maxTokens)
+      .select(col("source"), col("bucket"), col("truncated"),
+        col("line_length"), lit(-1).as("n"))
+    // cap far above any window (equivalence) and a cap every busy window
+    // exceeds (bounded-state path actually evicts across merges)
+    for (cap <- Seq(1 << 20, 200)) {
+      val a = viaOld(cap).collect()
+        .map(r => (r.getString(0), r.get(1).toString) ->
+          ((r.getBoolean(2), r.getDouble(3)))).toMap
+      val b = viaNew(cap).collect()
+        .map(r => (r.getString(0), r.get(1).toString) ->
+          ((r.getBoolean(2), r.getDouble(3)))).toMap
+      assert(a.keySet == b.keySet && a.nonEmpty, s"cap=$cap")
+      a.foreach { case (k, (tA, vA)) =>
+        val (tB, vB) = b(k)
+        assert(tA == tB, s"cap=$cap $k truncated")
+        assert(math.abs(vA - vB) <= 1e-12 * math.max(1.0, math.abs(vA)),
+          s"cap=$cap $k line_length: old $vA new $vB")
+      }
+      if (cap == 200) assert(a.values.exists(_._1), "cap must actually bite")
+    }
+    // direct invariant: kept rows never exceed maxWeight + one row's tokens
+    val kept = bulk.groupBy(col("source"),
+      window(col("event_time"), "1 hour").as("w"))
+      .agg(graft.functions.bounded_weighted_collect(
+        struct(col("event_time"), col("doc_id"), col("tokens")), 200L, 2)
+        .as("rows"))
+      .select(aggregate(col("rows.tokens"), lit(0),
+        (acc, t) => acc + size(t)).as("keptTokens"))
+      .collect().map(_.getInt(0))
+    assert(kept.forall(_ <= 200 + 96), s"state not bounded: ${kept.max}")
+    bulk.unpersist()
+  }
 }
