@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.TokenGen
 
 /** Benchmark main — DEADLINE-AWARE: the whole run fits inside
-  * `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 600 s) and ALWAYS prints the
+  * `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 690 s) and ALWAYS prints the
   * one JSON result line, even on partial evidence (a watchdog thread
   * force-emits and exits if the deadline overruns — the r2 artifact was
   * lost to a driver timeout, which is strictly worse than a partial
@@ -122,9 +122,18 @@ object Bench {
 
   /** Compose and print the single JSON result line from current state.
     * Idempotent (watchdog + normal path can race). */
+  /** Interference sentinel: engine CPU for the rollup workload is
+    * constant per doc (~6.6e-4 cpu-s/doc measured across every quiet
+    * window, BENCH.md forensics); a pass charged >= ~1.4x that did not get
+    * real cycles from the hypervisor and is excluded from the headline. */
+  private def cpuEnvelope(scaleDocs: Int): Double =
+    sys.env.get("SPARK_GRAFT_CPU_ENVELOPE").map(_.toDouble)
+      .getOrElse(math.max(40.0, scaleDocs * 9.4e-4))
+
   private def emit(): Unit = {
     if (!state.emitted.compareAndSet(false, true)) return
-    val envelope = sys.env.getOrElse("SPARK_GRAFT_CPU_ENVELOPE", "150").toDouble
+    val envelope =
+      cpuEnvelope(sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "160000").toInt)
     def level(p: Int) = state.passes.filter(_._1 == p)
     def cleanOrAll(p: Int) = {
       val c = level(p).filter(_._5)
@@ -182,12 +191,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "600").toDouble
-    val envelope = sys.env.getOrElse("SPARK_GRAFT_CPU_ENVELOPE", "150").toDouble
-    // scaling table: sized so one p=1 workload is ~35-40 s — long enough to
-    // dominate JVM startup, short enough that a full interleaved round fits
-    // the budget (r2 used 160k docs; its protocol could not finish)
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "80000").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "690").toDouble
+    // scaling table: 160k docs keeps the fixed per-query overheads small
+    // relative to compute (the regime where the engine's scaling is
+    // measurable); the per-child cost is tamed by RollupBench's
+    // warm-up-lite slice instead of shrinking the table
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "160000").toInt
+    val envelope = cpuEnvelope(scaleDocs)
     state.sfDir = sfDir
     def remaining: Double = deadlineSec - elapsed
 
@@ -228,8 +238,11 @@ object Bench {
         round += 1
         for (p <- Seq(1, 4) if !earlyExit && remaining > 90) {
           val reserve = if (round == 1) 30.0 else queryReserve
+          // cap per child: a stormy child should be cut and retried in a
+          // later (hopefully quieter) round instead of eating the budget
+          val cap = if (p == 1) 270.0 else 200.0
           val timeout =
-            math.max(60.0, math.min(remaining - reserve, 300.0)).toInt
+            math.max(60.0, math.min(remaining - reserve, cap)).toInt
           // p=4 runs are short: 3 in-JVM runs maximize the chance one lands
           // in a quiet host window
           timedChild(tokensPath, p, if (p == 1) 1 else 3, timeout) match {

@@ -289,6 +289,14 @@ object SparkEntry {
           duckRound(f("spect_entropy", P.copy(psdMethod = "multitaper"))(
             slice(col("signal"), 1, 64)), 6).as("spect_entropy_mt"))
         .orderBy("user_id")),
+    // second taper set at n=72 (non-power-of-two: exercises the Bluestein
+    // FFT path AND the size-independent DPSS solve at a second length)
+    "q_spect_entropy_mt72" -> ((s, dir) =>
+      sig(s, dir).where(size(col("signal")) >= 72)
+        .select(col("user_id"),
+          duckRound(f("spect_entropy", P.copy(psdMethod = "multitaper"))(
+            slice(col("signal"), 1, 72)), 6).as("spect_entropy_mt72"))
+        .orderBy("user_id")),
 
     // ---- bivariate (cross-channel) ops: channels = a user's per-event_type
     //      series, truncated to the common min length -------------------

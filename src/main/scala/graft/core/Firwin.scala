@@ -1,22 +1,45 @@
 package graft.core
 
-/** Windowed-sinc FIR design + zero-phase filtering for
-  * `compute_energy_freq_bands` (reference univariate.py:1330-1409, via
-  * `_filt` -> mne.filter.filter_data with fir_design='firwin',
+/** FIR design + zero-phase filtering for `compute_energy_freq_bands`
+  * (reference univariate.py:1330-1409, via `_filt` ->
+  * mne.filter.filter_data with fir_design='firwin',
   * reference utils.py:214-254).
   *
-  * The reference's own test bar for this feature is a property — >= 98%
-  * of the energy of a band-limited signal lands in the covering band
-  * (reference tests/test_univariate.py:501-515) — not exact values, so
-  * this is a clean-room firwin (Hamming window, odd taps, transition
-  * bandwidths from mne's published "auto" rule: trans = min(max(0.25*f, 2),
-  * available headroom)), applied zero-phase by compensating the
-  * linear-phase group delay with edge reflection padding.
+  * r3: exact port of the published mne design (the r2 version was a
+  * clean-room windowed-sinc meeting only the reference's 98%-energy
+  * property bar, tests/test_univariate.py:501-515):
+  *
+  *  - auto transition bandwidths: l_trans = min(max(0.25 f_lo, 2 Hz),
+  *    f_lo); h_trans = min(max(0.25 f_hi, 2 Hz), nyq - f_hi),
+  *  - auto length N = round(3.3 * sfreq / min(trans)) forced odd (hamming
+  *    length factor 3.3; phase='zero' requires odd taps),
+  *  - composite design (mne _firwin_design): one hamming-windowed-sinc
+  *    LOW-PASS per gain transition, each at its own odd length
+  *    round(3.3 / transition_normalized), centered in N; the band-pass is
+  *    (low-pass at the upper transition midpoint) - (low-pass at the lower
+  *    transition midpoint). Each sub-low-pass is scipy.signal.firwin with
+  *    pass_zero=True: fc*sinc(fc*m) windowed, scaled to unit DC gain.
+  *  - zero-phase application (mne _overlap_add_filter semantics, direct
+  *    convolution): pad n_edge = min(N, n) - 1 samples per side with
+  *    'reflect_limited' (odd reflection 2*edge - x, zero-extended when the
+  *    signal is shorter than the pad), full convolution, take the segment
+  *    offset by the (N-1)/2 group delay. The filter is NOT truncated when
+  *    longer than the signal (mne warns and proceeds; the r2 version
+  *    capped taps at the signal length — the one behavioral deviation a
+  *    user cross-checking mne output would have seen).
+  *
+  * mne applies the convolution by FFT overlap-add; this kernel convolves
+  * directly, so agreement with mne is exact in the design and to FFT
+  * rounding (~1e-12 relative) in the application. Scale note: direct
+  * convolution is O(n * N) per band — the right choice for the epoch
+  * regime this feature serves; million-sample signals should band-split
+  * via the PSD features instead.
   */
 object Firwin {
 
-  /** Hamming-windowed sinc low-pass with cutoff fc (normalized to Nyquist=1),
-    * odd numtaps, unit DC gain. */
+  /** Hamming-windowed sinc low-pass with cutoff fc (normalized to
+    * Nyquist=1), odd numtaps, unit DC gain — exactly scipy.signal.firwin
+    * (numtaps, fc, window='hamming', pass_zero=True, fs=2). */
   def lowpass(numtaps: Int, fc: Double): Array[Double] = {
     require(numtaps % 2 == 1, "numtaps must be odd")
     val m = numtaps - 1
@@ -36,74 +59,96 @@ object Firwin {
     h
   }
 
-  /** Band-pass as difference of two low-passes (unit gain at band center). */
-  def bandpass(numtaps: Int, fLo: Double, fHi: Double): Array[Double] = {
-    val lo = lowpass(numtaps, fHi)
-    val hi = lowpass(numtaps, fLo)
-    val h = new Array[Double](numtaps)
-    var i = 0
-    while (i < numtaps) { h(i) = lo(i) - hi(i); i += 1 }
-    h
-  }
-
   /** mne "auto" transition bandwidth: min(max(0.25 * f, 2 Hz), f) on the low
     * edge; min(max(0.25 * f, 2 Hz), nyq - f) on the high edge. */
   def autoTransLow(f: Double): Double = math.min(math.max(0.25 * f, 2.0), f)
   def autoTransHigh(f: Double, nyq: Double): Double =
     math.min(math.max(0.25 * f, 2.0), math.max(nyq - f, 1e-9))
 
-  /** Zero-phase band-pass of x in [fLo, fHi] Hz at sampling rate sfreq. */
-  def filterBand(x: Array[Double], sfreq: Double, fLo: Double, fHi: Double): Array[Double] = {
+  /** Band-pass (or pure low-pass when fLo <= 0) FIR taps, mne
+    * create_filter + _firwin_design defaults. */
+  def design(sfreq: Double, fLo: Double, fHi: Double): Array[Double] = {
     val nyq = sfreq / 2.0
-    val tLo = autoTransLow(fLo)
+    require(fHi < nyq, s"h_freq $fHi must be below Nyquist $nyq")
     val tHi = autoTransHigh(fHi, nyq)
+    val tLo = if (fLo > 0) autoTransLow(fLo) else Double.MaxValue
     val minTrans = math.min(tLo, tHi)
-    // mne auto length: 3.3 / trans_bw * sfreq, forced odd, capped to signal
-    var numtaps = math.ceil(3.3 * sfreq / minTrans).toInt | 1
-    val maxTaps = math.max(3, (x.length - 1) | 1)
-    if (numtaps > maxTaps) numtaps = maxTaps
-    // When the cap bites, the achievable Hamming transition bandwidth is
-    // ~3.3*sfreq/numtaps Hz; widen the designed transitions to match so the
-    // passband edges stay in the flat region (keeps the reference's 98%%
-    // energy-capture property even for short signals).
-    val transEff = 3.3 * sfreq / numtaps
-    val tLoEff = math.max(tLo, transEff)
-    val tHiEff = math.max(tHi, transEff)
-    val cLoHz = fLo - tLoEff / 2.0
-    val cHiHz = fHi + tHiEff / 2.0
-    val cHi = math.min(cHiHz / nyq, 1.0 - 1e-9)
-    val h =
-      if (cLoHz <= 0.0) lowpass(numtaps, cHi) // low edge under DC: pure low-pass
-      else bandpass(numtaps, cLoHz / nyq, cHi)
-    convolveZeroPhase(x, h)
+    var n = math.max(math.round(3.3 * sfreq / minTrans).toInt, 1)
+    if (n % 2 == 0) n += 1
+    val h = new Array[Double](n)
+    // high edge: gain 0 -> 1 walking down from Nyquist; ADD a low-pass at
+    // the transition midpoint
+    val fp2 = fHi / nyq
+    val fs2 = math.min((fHi + tHi) / nyq, 1.0)
+    addLowpass(h, +1.0, (fp2 + fs2) / 2.0, (fs2 - fp2) / 2.0)
+    if (fLo > 0) {
+      // low edge: gain 1 -> 0; SUBTRACT a low-pass at its midpoint (when
+      // the stop edge collapses to DC, fs1 = 0 and the formulas hold)
+      val fp1 = fLo / nyq
+      val fs1 = math.max((fLo - tLo) / nyq, 0.0)
+      addLowpass(h, -1.0, (fp1 + fs1) / 2.0, (fp1 - fs1) / 2.0)
+    }
+    h
   }
 
-  /** 'same'-size convolution with reflect padding, compensating the
-    * (numtaps-1)/2 linear-phase delay — net zero-phase for symmetric h. */
-  def convolveZeroPhase(x: Array[Double], h: Array[Double]): Array[Double] = {
+  /** One composite term: a sub-low-pass at its own auto length, centered. */
+  private def addLowpass(h: Array[Double], sign: Double, cutoff: Double,
+                         transition: Double): Unit = {
+    var tn = math.round(3.3 / transition).toInt
+    tn += 1 - tn % 2 // force odd (mne _firwin_design)
+    require(tn <= h.length,
+      s"sub-filter length $tn exceeds composite length ${h.length}")
+    val lp = lowpass(tn, cutoff)
+    val off = (h.length - tn) / 2
+    var i = 0
+    while (i < tn) { h(off + i) += sign * lp(i); i += 1 }
+  }
+
+  /** Zero-phase FIR application, mne filter_data semantics: pad
+    * n_edge = min(L, n) - 1 per side with reflect_limited (odd reflection
+    * 2*edge - x, zeros beyond the signal), full convolution, take the
+    * segment compensating the (L-1)/2 linear-phase delay. */
+  def applyZeroPhase(x: Array[Double], h: Array[Double]): Array[Double] = {
     val n = x.length
     val l = h.length
-    val half = (l - 1) / 2
+    if (n == 0) return new Array[Double](0)
+    val nEdge = math.max(math.min(l, n) - 1, 0)
+    val m = n + 2 * nEdge
+    val ext = new Array[Double](m)
+    var j = 0
+    while (j < nEdge) {
+      val q = nEdge - j
+      ext(j) = if (q <= n - 1) 2 * x(0) - x(q) else 0.0
+      j += 1
+    }
+    System.arraycopy(x, 0, ext, nEdge, n)
+    j = 0
+    while (j < nEdge) {
+      val q = j + 1
+      ext(nEdge + n + j) = if (q <= n - 1) 2 * x(n - 1) - x(n - 1 - q) else 0.0
+      j += 1
+    }
+    val c = nEdge + (l - 1) / 2
     val out = new Array[Double](n)
-    var i = 0
-    while (i < n) {
+    var t = 0
+    while (t < n) {
       var s = 0.0
       var k = 0
       while (k < l) {
-        var idx = i + half - k
-        // reflect (without repeating the edge), scipy 'reflect'/'mirror'-ish
-        if (idx < 0) idx = -idx
-        if (idx >= n) idx = 2 * n - 2 - idx
-        if (idx < 0) idx = 0 // degenerate tiny-n guard
-        if (idx >= n) idx = n - 1
-        s += h(k) * x(idx)
+        val idx = c + t - k
+        if (idx >= 0 && idx < m) s += h(k) * ext(idx)
         k += 1
       }
-      out(i) = s
-      i += 1
+      out(t) = s
+      t += 1
     }
     out
   }
+
+  /** Zero-phase band-pass of x in [fLo, fHi] Hz at sampling rate sfreq. */
+  def filterBand(x: Array[Double], sfreq: Double, fLo: Double,
+                 fHi: Double): Array[Double] =
+    applyZeroPhase(x, design(sfreq, fLo, fHi))
 
   /** Derivative pre-filter: scipy.ndimage.convolve1d(x, [1, 0, -1],
     * mode='nearest') = x[i+1] - x[i-1] with edge replication

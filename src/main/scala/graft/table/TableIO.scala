@@ -33,6 +33,14 @@ final class TableIO(val root: String) {
                             buckets: Seq[Long], rows: Long, jobId: String,
                             committedAt: Long)
 
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRec(c)) finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   private def esc(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -105,17 +113,30 @@ final class TableIO(val root: String) {
     // below the state minimum): record it in the manifest (it IS done —
     // resume must not re-run it forever) but write no data directory
     // (a 0-row partitioned parquet write has no readable footer).
-    val empty = df.isEmpty
-    val relDir = if (empty) "" else s"data/$tier/snap-$id"
-    val rows = if (empty) 0L else {
-      val finalDir = Paths.get(root, relDir)
-      val tmpDir = Paths.get(root, relDir + ".tmp")
-      Files.createDirectories(finalDir.getParent)
-      val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
-      writer.mode("overwrite").parquet(tmpDir.toString)
-      val n = df.sparkSession.read.parquet(tmpDir.toString).count()
+    // The plan is evaluated ONCE — write to tmp first, then derive
+    // emptiness from what was actually written (a separate isEmpty action
+    // would re-execute the plan and could disagree with the written data
+    // for nondeterministic inputs).
+    val snapRel = s"data/$tier/snap-$id"
+    val finalDir = Paths.get(root, snapRel)
+    val tmpDir = Paths.get(root, snapRel + ".tmp")
+    Files.createDirectories(finalDir.getParent)
+    val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("overwrite").parquet(tmpDir.toString)
+    val hasData = {
+      val s = Files.walk(tmpDir)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+      finally s.close()
+    }
+    val rows =
+      if (!hasData) 0L
+      else df.sparkSession.read.parquet(tmpDir.toString).count()
+    val relDir = if (rows == 0L) {
+      deleteRec(tmpDir)
+      ""
+    } else {
       Files.move(tmpDir, finalDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      n
+      snapRel
     }
     val snap = Snapshot(id, tier, relDir, buckets, rows, jobId,
       System.currentTimeMillis())

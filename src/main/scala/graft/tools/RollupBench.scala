@@ -13,8 +13,14 @@ import graft.functions.FeatureParams
 object RollupBench {
 
   def workload(spark: SparkSession, tokensPath: String,
-               verbose: Boolean = false): Long = {
-    val tokens = spark.read.parquet(tokensPath)
+               verbose: Boolean = false,
+               warmupSlice: Boolean = false): Long = {
+    val all = spark.read.parquet(tokensPath)
+    // warm-up-lite: partition-prune to 2 of the 16 sources — JIT-warms
+    // every code path (kernels, codegen shapes, shuffle) at ~1/8 the cost
+    // of a full pass, so each fresh child JVM spends its budget measuring
+    val tokens =
+      if (warmupSlice) all.where(col("source").isin("s0", "s7")) else all
     val scale = 1.0 / (1 << 24)
     val p = FeatureParams(sfreq = 256.0, scale = scale)
     def phase[T](name: String)(body: => T): T = {
@@ -68,7 +74,7 @@ object RollupBench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
         .getProcessCpuTime / 1e9
-    workload(spark, tokensPath) // warm-up: JIT + page cache
+    workload(spark, tokensPath, warmupSlice = true) // warm-up: JIT + page cache
     // min of `runs` measured runs: this sandbox is a shared host with
     // bursty external load; the least-interfered run is the honest
     // capability measurement at each parallelism level. CPU seconds ride

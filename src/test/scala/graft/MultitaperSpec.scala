@@ -31,6 +31,50 @@ class MultitaperSpec extends AnyFunSuite {
     assert(Dpss.tapers(n) eq tp)
   }
 
+  test("dpss tridiagonal solver == dense Jacobi reference at several n; " +
+    "orthonormal + concentrated across sizes incl. large n") {
+    // cross-check the Sturm/inverse-iteration path against the engine's
+    // dense Jacobi on the same tridiagonal (the r2 construction)
+    for (n <- Seq(48, 64, 100)) {
+      val w = 4.0 / n
+      val cos2piW = math.cos(2 * math.Pi * w)
+      val mat = new Array[Double](n * n)
+      for (t <- 0 until n) {
+        val d = (n - 1 - 2.0 * t) / 2.0
+        mat(t * n + t) = d * d * cos2piW
+        if (t + 1 < n) {
+          val off = (t + 1) * (n - 1.0 - t) / 2.0
+          mat(t * n + (t + 1)) = off
+          mat((t + 1) * n + t) = off
+        }
+      }
+      val (_, vecs) = graft.core.Eig.symEigen(mat, n)
+      val tp = Dpss.tapers(n)
+      for (k <- tp.tapers.indices) {
+        val a = tp.tapers(k)
+        val ref = vecs(k)
+        val nrm = math.sqrt(ref.map(x => x * x).sum)
+        val dot = math.abs(a.zip(ref).map { case (x, y) => x * y / nrm }.sum)
+        assert(math.abs(dot - 1.0) < 1e-9, s"n=$n taper $k |dot|=$dot")
+      }
+    }
+    // size-independence: orthonormality and lambda range at lengths the
+    // dense path could not touch (n^2 doubles / O(n^3) time)
+    for (n <- Seq(500, 4096, 50000)) {
+      val tp = Dpss.tapers(n)
+      assert(tp.tapers.length >= 4, s"n=$n kept ${tp.tapers.length}")
+      for (i <- tp.tapers.indices; j <- i until tp.tapers.length) {
+        val dot = tp.tapers(i).zip(tp.tapers(j)).map { case (a, b) => a * b }.sum
+        val expect = if (i == j) 1.0 else 0.0
+        assert(math.abs(dot - expect) < 1e-8, s"n=$n <$i,$j> = $dot")
+      }
+      assert(tp.lambdas.forall(l => l > 0.9 && l <= 1.0 + 1e-9), s"n=$n")
+    }
+    // guard rails: too-short and beyond-cap epochs get a clear error
+    intercept[IllegalArgumentException](Dpss.tapers(3))
+    intercept[IllegalArgumentException](Dpss.tapers(Dpss.MaxN + 1))
+  }
+
   test("multitaper psd: pure-tone mass concentrates around the tone") {
     val n = 128
     val sfreq = 64.0

@@ -53,9 +53,17 @@ def minhash_cte(coef_values):
   sigj AS (SELECT doc_id, j, min((ca * u.h + cb) % {P31})::BIGINT AS mh
            FROM hmods, coef, unnest(hm) AS u(h) GROUP BY doc_id, j),
   sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sigj GROUP BY doc_id),
-  banded AS (SELECT doc_id, sig, b.b AS band,
+  banded0 AS (SELECT doc_id, sig, b.b AS band,
                sig[b.b * 4 + 1 : b.b * 4 + 4] AS bucket
              FROM sigs, (SELECT unnest(range(16)) AS b) b),
+  -- hot-bucket cap: mirror of DedupOps.MaxBucket (rank within band/bucket
+  -- by doc_id, keep <= 256) so the gate stays equivalent even when a
+  -- bucket exceeds the cap at larger scale factors
+  banded AS (SELECT doc_id, sig, band, bucket FROM (
+               SELECT doc_id, sig, band, bucket,
+                 row_number() OVER (PARTITION BY band, bucket
+                   ORDER BY doc_id) AS rk
+               FROM banded0) WHERE rk <= 256),
   cand AS (
     SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sig AS sig_a, r.sig AS sig_b
     FROM banded l JOIN banded r
@@ -836,57 +844,84 @@ FROM st ORDER BY user_id"""
 # ---- energy_freq_bands (firwin design + zero-phase reflect convolution) ----
 
 def firwin_oracle():
-    # lowpass(nt, fc) as a list expression (hamming-windowed sinc, unit DC)
-    def lp(fc):
-        raw = (f"list_transform(range(0, nt), i -> "
-               f"(CASE WHEN i - (nt - 1) // 2 = 0 THEN ({fc}) "
-               f"ELSE sin(pi() * ({fc}) * (i - (nt - 1) // 2)) "
-               f"/ (pi() * (i - (nt - 1) // 2)) END) "
-               f"* (0.54 - 0.46 * cos(2 * pi() * i / (nt - 1))))")
-        return raw
+    # r3: taps are generated HERE with a pure-python mirror of the mne
+    # composite firwin design (auto transition bandwidths, auto odd length
+    # N = round(3.3*sfreq/min_trans), one hamming-windowed-sinc lowpass per
+    # gain transition at its own odd length, centered; unit DC gain per
+    # sub-lowpass) and inlined as literals; the SQL replicates the
+    # zero-phase application (reflect_limited padding, full convolution,
+    # (L-1)//2 delay compensation) and the band energy. Summation order
+    # mirrors core/Firwin.scala exactly (sequential, k ascending).
+    import math as _m
 
-    def norm(h):
-        return f"list_transform({h}, x -> x / list_sum({h}))"
+    def firwin_lowpass(numtaps, fc):
+        m = numtaps - 1
+        h = []
+        s = 0.0
+        for i in range(numtaps):
+            k = i - m // 2
+            sinc = fc if k == 0 else _m.sin(_m.pi * fc * k) / (_m.pi * k)
+            w = 0.54 - 0.46 * _m.cos(2 * _m.pi * i / m)
+            v = sinc * w
+            h.append(v)
+            s += v
+        return [v / s for v in h]
 
-    # reflect-padded same-size convolution index (kernel's 4-step clamp)
-    ridx = ("(CASE WHEN r2 < 0 THEN 0 WHEN r2 >= n THEN n - 1 ELSE r2 END)"
-            .replace("r2", "(CASE WHEN r1 >= n THEN 2 * n - 2 - r1 ELSE r1 END)")
-            .replace("r1", "(CASE WHEN (i + (nt - 1) // 2 - k) < 0 "
-                           "THEN -(i + (nt - 1) // 2 - k) "
-                           "ELSE (i + (nt - 1) // 2 - k) END)"))
-    energy = (f"list_sum(list_transform(range(0, n), i -> "
-              f"pow(list_sum(list_transform(range(0, nt), k -> "
-              f"h[k + 1] * d[{ridx} + 1])), 2)))")
+    def design(sfreq, flo, fhi):
+        nyq = sfreq / 2.0
+        tlo = min(max(0.25 * flo, 2.0), flo)
+        thi = min(max(0.25 * fhi, 2.0), nyq - fhi)
+        n = max(int(round(3.3 * sfreq / min(tlo, thi))), 1)
+        if n % 2 == 0:
+            n += 1
+        h = [0.0] * n
 
-    band = """
-  b{tag} AS (SELECT user_id, n, d,
-      least(CAST(ceil(3.3 * 256.0 / {mintrans}) AS INT) | 1,
-            greatest(3, (n - 1) | 1))::BIGINT AS nt
-    FROM dv),
-  c{tag} AS (SELECT user_id, n, d, nt,
-      {flo} - greatest({tlo}, 3.3 * 256.0 / nt) / 2.0 AS clohz,
-      least(({fhi} + greatest({thi}, 3.3 * 256.0 / nt) / 2.0) / 128.0,
-            1.0 - 1e-9) AS chi
-    FROM b{tag}),
-  h{tag} AS (SELECT user_id, n, d, nt,
-      CASE WHEN clohz <= 0.0 THEN {lp_chi}
-           ELSE list_transform(range(1, nt + 1),
-             ii -> {lp_chi_l}[ii] - {lp_clo_l}[ii]) END AS h
-    FROM c{tag}),
-  e{tag} AS (SELECT user_id, round({energy}, 6) AS band{tag} FROM h{tag})
+        def add(sign, cutoff, trans):
+            tn = int(round(3.3 / trans))
+            tn += 1 - tn % 2
+            assert tn <= n, (tn, n)
+            lp = firwin_lowpass(tn, cutoff)
+            off = (n - tn) // 2
+            for i, v in enumerate(lp):
+                h[off + i] += sign * v
+
+        fp2, fs2 = fhi / nyq, min((fhi + thi) / nyq, 1.0)
+        add(1.0, (fp2 + fs2) / 2.0, (fs2 - fp2) / 2.0)
+        fp1, fs1 = flo / nyq, max((flo - tlo) / nyq, 0.0)
+        add(-1.0, (fp1 + fs1) / 2.0, (fp1 - fs1) / 2.0)
+        return h
+
+    def taps_sql(h):
+        return "[" + ", ".join(repr(float(v)) for v in h) + "]::DOUBLE[]"
+
+    band_tpl = """
+  x{tag} AS (SELECT user_id, n, d, {taps} AS h FROM dv),
+  p{tag} AS (SELECT user_id, n, d, h, len(h) AS L,
+               least(len(h), n) - 1 AS ne FROM x{tag}),
+  ex{tag} AS (SELECT user_id, n, h, L, ne,
+               list_transform(range(0, n + 2 * ne), j ->
+                 CASE WHEN j < ne THEN
+                   (CASE WHEN ne - j <= n - 1
+                         THEN 2 * d[1] - d[ne - j + 1] ELSE 0.0 END)
+                 WHEN j < ne + n THEN d[j - ne + 1]
+                 ELSE (CASE WHEN j - ne - n + 1 <= n - 1
+                       THEN 2 * d[n] - d[n - (j - ne - n + 1)]
+                       ELSE 0.0 END) END) AS ext
+              FROM p{tag}),
+  e{tag} AS (SELECT user_id,
+      round(list_sum(list_transform(range(0, n), t ->
+        pow(list_sum(list_transform(range(0, L), k ->
+          CASE WHEN ne + (L - 1) // 2 + t - k >= 0
+                AND ne + (L - 1) // 2 + t - k < n + 2 * ne
+               THEN h[k + 1] * ext[ne + (L - 1) // 2 + t - k + 1]
+               ELSE 0.0 END)), 2))), 6) AS band{tag}
+    FROM ex{tag})
 """
 
-    def mk(tag, flo, fhi, tlo, thi, mintrans):
-        lo_n = norm(lp("clohz / 128.0"))
-        hi_n = norm(lp("chi"))
-        return (band.replace("{tag}", tag).replace("{flo}", flo)
-                .replace("{fhi}", fhi).replace("{tlo}", tlo)
-                .replace("{thi}", thi).replace("{mintrans}", mintrans)
-                .replace("{lp_chi_l}", hi_n).replace("{lp_clo_l}", lo_n)
-                .replace("{lp_chi}", hi_n).replace("{energy}", energy))
+    def mk(tag, flo, fhi):
+        h = design(256.0, flo, fhi)
+        return band_tpl.replace("{tag}", tag).replace("{taps}", taps_sql(h))
 
-    # band0 = (0.5, 4): tLo = 0.5, tHi = 2 -> minTrans 0.5
-    # band4 = (30, 100): tLo = 7.5, tHi = 25 -> minTrans 7.5
     sql = f"""
 WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
         FROM events GROUP BY user_id HAVING count(*) >= 8),
@@ -894,8 +929,8 @@ WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l
   dv AS (SELECT user_id, n, list_transform(range(1, n + 1), i ->
            l[least(i + 1, n)] - l[greatest(i - 1, 1)]) AS d
          FROM m),
-  {mk('0', '0.5', '4.0', '0.5', '2.0', '0.5').strip().rstrip(',')},
-  {mk('4', '30.0', '100.0', '7.5', '25.0', '7.5').strip().rstrip(',')}
+  {mk('0', 0.5, 4.0).strip().rstrip(',')},
+  {mk('4', 30.0, 100.0).strip().rstrip(',')}
 SELECT e0.user_id, e0.band0, e4.band4
 FROM e0 JOIN e4 ON e0.user_id = e4.user_id ORDER BY e0.user_id"""
     return {"q_energy_freq_bands": sql}
@@ -1078,29 +1113,31 @@ def dpss_numpy(n=64, half_nbw=4.0, n_tapers=7):
     return [list(map(float, tapers[k])) for k in keep], [lams[k] for k in keep]
 
 
-def multitaper_oracle():
-    tapers, lams = dpss_numpy()
+def multitaper_oracle(n=64, outcol="spect_entropy_mt",
+                      qname="q_spect_entropy_mt"):
+    tapers, lams = dpss_numpy(n=n)
     rows = ", ".join(
         f"({k}, [{', '.join(repr(x) for x in tp)}]::DOUBLE[], {lams[k]!r})"
         for k, tp in enumerate(tapers))
+    half = n // 2  # Nyquist bin index for even n
     sql = f"""
 WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l0
-        FROM events GROUP BY user_id HAVING count(*) >= 64),
-  m AS (SELECT user_id, l0[1:64] AS l FROM g),
+        FROM events GROUP BY user_id HAVING count(*) >= {n}),
+  m AS (SELECT user_id, l0[1:{n}] AS l FROM g),
   tap(tk, tp, lam) AS (VALUES {rows}),
   xt AS (SELECT user_id, tk, lam,
-           list_transform(range(1, 65), j -> l[j] * tp[j]) AS w
+           list_transform(range(1, {n + 1}), j -> l[j] * tp[j]) AS w
          FROM m, tap),
   sp AS (SELECT user_id, fq.k AS k,
-           sum(lam * (pow(list_sum(list_transform(range(1, 65), j ->
-                 w[j] * cos(2 * pi() * (j - 1) * fq.k / 64))), 2)
-               + pow(list_sum(list_transform(range(1, 65), j ->
-                 w[j] * sin(2 * pi() * (j - 1) * fq.k / 64))), 2))) AS acc
-         FROM xt, (SELECT unnest(range(0, 33)) AS k) fq
+           sum(lam * (pow(list_sum(list_transform(range(1, {n + 1}), j ->
+                 w[j] * cos(2 * pi() * (j - 1) * fq.k / {n}))), 2)
+               + pow(list_sum(list_transform(range(1, {n + 1}), j ->
+                 w[j] * sin(2 * pi() * (j - 1) * fq.k / {n}))), 2))) AS acc
+         FROM xt, (SELECT unnest(range(0, {half + 1})) AS k) fq
          GROUP BY user_id, fq.k),
   psd AS (SELECT user_id, k,
             acc / (256.0 * (SELECT sum(lam) FROM tap))
-              * (CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END) AS p
+              * (CASE WHEN k = 0 OR k = {half} THEN 1.0 ELSE 2.0 END) AS p
           FROM sp),
   tot AS (SELECT user_id, sum(p) AS m0 FROM psd GROUP BY user_id),
   e AS (SELECT psd.user_id,
@@ -1108,8 +1145,8 @@ WITH g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l0
             FILTER (WHERE k >= 1) AS v
         FROM psd JOIN tot ON psd.user_id = tot.user_id
         GROUP BY psd.user_id)
-SELECT user_id, round(v, 6) AS spect_entropy_mt FROM e ORDER BY user_id"""
-    return {"q_spect_entropy_mt": sql}
+SELECT user_id, round(v, 6) AS {outcol} FROM e ORDER BY user_id"""
+    return {qname: sql}
 
 
 # ---- multimodal batch-extract gate ------------------------------------------
@@ -1200,7 +1237,10 @@ def main(sfdir, outdir, only=None):
     allo = {**oracles(), **spectral_oracles(), **entropy_oracles(),
             **bivariate_oracles(), **embed_oracles(), **fractal_oracles(),
             **wavelet_oracles(), **firwin_oracle(), **nonlin_oracle(),
-            **svd_oracles(), **multitaper_oracle(), **multimodal_oracle()}
+            **svd_oracles(), **multitaper_oracle(),
+            **multitaper_oracle(n=72, outcol="spect_entropy_mt72",
+                                qname="q_spect_entropy_mt72"),
+            **multimodal_oracle()}
     for name, sql in allo.items():
         if only and name not in only:
             continue
@@ -1212,7 +1252,10 @@ def emit_scala(path):
     allo = {**oracles(), **spectral_oracles(), **entropy_oracles(),
             **bivariate_oracles(), **embed_oracles(), **fractal_oracles(),
             **wavelet_oracles(), **firwin_oracle(), **nonlin_oracle(),
-            **svd_oracles(), **multitaper_oracle(), **multimodal_oracle()}
+            **svd_oracles(), **multitaper_oracle(),
+            **multitaper_oracle(n=72, outcol="spect_entropy_mt72",
+                                qname="q_spect_entropy_mt72"),
+            **multimodal_oracle()}
     with open(path, "w") as f:
         f.write("package graft\n\n")
         f.write("/** DuckDB oracle SQL for the round-2 gated queries —\n")
