@@ -180,14 +180,27 @@ object SparkEntry {
           col("c")))).as("evs"))
         .select(col("source"),
           col("event_time").cast("timestamp").as("event_time"),
+          concat(col("source"), lit("_"),
+            unix_timestamp(col("event_time"))).as("doc_id"),
           transform(col("evs"), e => e.getField("c").cast("int")).as("tokens"))
+        .withColumn("n_tok", size(col("tokens")))
         .write.mode("overwrite").parquet(src)
+      val tag = System.nanoTime()
       val out = graft.streaming.StreamingRollup.runOnce(s, src, "1 hour",
-        "1 minute", 1.0, "graft_stream_gate_" + System.nanoTime())
-      out.select(col("source").as("event_type"),
-        unix_timestamp(col("bucket")).as("bucket_s"),
+        "1 minute", 1.0, "graft_stream_gate_" + tag)
+      // diff-family (line_length) from the STATEFUL streaming path: the
+      // boundary bridge under incremental processing, exact vs the oracle
+      val diff = graft.streaming.StreamingRollup.runOnceDiff(s, src, "1 hour",
+        "1 minute", 1.0, "graft_stream_diff_" + tag)
+        .select(col("source"), col("bucketS"),
+          ((col("sumAbsD") / (col("n") - 1)) / 100.0).as("line_length"))
+      out.select(col("source"),
+        unix_timestamp(col("bucket")).as("bucketS"),
         col("n").cast("long").as("n"),
         (col("mean") / 100.0).as("mean"))
+        .join(diff, Seq("source", "bucketS"))
+        .select(col("source").as("event_type"), col("bucketS").as("bucket_s"),
+          col("n"), col("mean"), col("line_length"))
         .orderBy("event_type", "bucket_s")
     }),
 
@@ -614,15 +627,22 @@ object SparkEntry {
          FROM c WHERE gn >= 2 GROUP BY 1, 2 ORDER BY 1, 2""",
     // same direct-aggregate truth, reached through the streaming tier
     "q_streaming_equivalence" ->
-      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+      """WITH c AS (SELECT event_type, ts, event_id,
+                    date_trunc('hour', ts) AS b,
                     CAST(round(value * 100, 0) AS BIGINT) AS c,
                     count(*) OVER (PARTITION BY event_type,
                       time_bucket(INTERVAL 10 MINUTE, ts)) AS gn
-              FROM events)
+              FROM events),
+         d AS (SELECT event_type, b, c,
+                 c - lag(c) OVER (PARTITION BY event_type, b
+                                  ORDER BY ts, event_id) AS dd
+               FROM c WHERE gn >= 2)
          SELECT event_type, epoch(b)::BIGINT AS bucket_s,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean
-         FROM c WHERE gn >= 2 GROUP BY 1, 2 ORDER BY 1, 2""",
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean,
+           (CAST(sum(abs(dd)) AS DOUBLE) / (count(*) - 1)) / 100.0
+             AS line_length
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_ann_cosine_top1" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),
          sims AS (

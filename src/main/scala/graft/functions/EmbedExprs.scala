@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -17,13 +17,31 @@ import org.apache.spark.sql.types._
   * list_cosine_similarity and to the zip_with/aggregate formulation it
   * replaces. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toDoubleArray()
-    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // real doGenCode: both ArrayData children flow straight into the static
+  // kernel — no per-row InternalRow wrap, no boxing of the double result.
+  // This expression is the inner loop of the ANN broadcast join and the
+  // LSH candidate verify.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSimExpr.kernel($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object CosineSimExpr {
+  /** Static single-pass cosine kernel (sequential accumulation — see class
+    * doc for the bit-exactness contract). */
+  def kernel(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
     var dot = 0.0
     var nx = 0.0
@@ -37,9 +55,6 @@ case class CosineSimExpr(left: Expression, right: Expression)
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
 }
 
 /** Random-hyperplane LSH band signatures: for each band b, an integer whose

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -149,10 +149,16 @@ object FeatureCatalog {
   * Null semantics: null input, arrays shorter than the kernel's minimum,
   * and non-finite kernel results (e.g. SampEn undefined — the reference
   * raises, univariate.py:546-547) all yield SQL NULL.
+  *
+  * Codegen: a real doGenCode (r3) — the child ArrayData flows straight
+  * into the kernel call. The r2 CodegenFallback materialized an UnsafeRow
+  * per row PER FEATURE COLUMN (copying the token array each time) just to
+  * call eval(row); at a 5-feature raw-tier projection that was five array
+  * copies per row of pure overhead.
   */
 case class TokenFeature(child: Expression, feature: String,
                         params: FeatureParams)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val fdef = FeatureCatalog(feature)
 
@@ -211,6 +217,41 @@ case class TokenFeature(child: Expression, feature: String,
       case d: Double => if (java.lang.Double.isFinite(d)) d else null
       case a: Array[Double] => new GenericArrayData(a)
       case other => other
+    }
+  }
+
+  /** Codegen entry, scalar kernels: NaN encodes SQL NULL (the kernel's
+    * null cases are exactly too-short input and non-finite results). */
+  def kernelScalar(ad: ArrayData): Double = {
+    val x = toDoubles(ad)
+    if (x.length < fdef.minLen) return Double.NaN
+    val d = fdef.eval(x, params).asInstanceOf[Double]
+    if (java.lang.Double.isFinite(d)) d else Double.NaN
+  }
+
+  /** Codegen entry, vector kernels: null for too-short input. */
+  def kernelArray(ad: ArrayData): ArrayData = {
+    val x = toDoubles(ad)
+    if (x.length < fdef.minLen) return null
+    new GenericArrayData(fdef.eval(x, params).asInstanceOf[Array[Double]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftFeature", this, classOf[TokenFeature].getName)
+    if (fdef.vector) {
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $ref.kernelArray($c);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    } else {
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = $ref.kernelScalar($c);
+           |${ev.isNull} = java.lang.Double.isNaN(${ev.value});
+         """.stripMargin
+      })
     }
   }
 

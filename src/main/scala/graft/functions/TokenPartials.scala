@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   */
 case class TokenPartialsExpr(child: Expression, scale: Double,
                              zcThreshold: Double = 2.220446049250313e-16)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TokenPartialsExpr.schema
   override def nullable: Boolean = true
@@ -90,6 +90,24 @@ case class TokenPartialsExpr(child: Expression, scale: Double,
     val l1 = at(n - 1); val l2 = at(n - 2)
     InternalRow(n.toLong, s1, s2, s3, s4, mn, mx, sumAbsD, sumDSq, sumESq,
       f1, f2, l1, l2, zc, sgn(f1), sgn(l1))
+  }
+
+  /** Codegen entry: the state row, or null for n < 2. */
+  def kernelRow(ad: ArrayData): InternalRow =
+    nullSafeEval(ad).asInstanceOf[InternalRow]
+
+  // real doGenCode (not CodegenFallback): the child ArrayData flows
+  // straight in — no per-row UnsafeRow materialization/array copy on the
+  // raw-tier hot path
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPartials", this,
+      classOf[TokenPartialsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.kernelRow($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -56,4 +56,151 @@ object StreamingRollup {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Diff-family streaming tier (r3): the cross-row boundary bridge under
+    * incremental processing. flatMapGroupsWithState carries, per (source,
+    * window), the per-row BOUNDARY tuples (first/last two samples + edge
+    * signs, in row order) plus the running row-internal sums; each trigger
+    * re-derives the bridge terms from the sorted boundaries — so
+    * line_length, Hjorth and zero-crossings come out EXACTLY equal to the
+    * batch cascade regardless of arrival order, which a watermarked
+    * groupBy (orderless) cannot do. State is O(rows-in-window) boundary
+    * tuples, capped by `maxSegs` (hotter windows belong to the batch
+    * cascade); windows evict on event-time timeout one watermark past the
+    * window end. */
+  def diffTier(stream: DataFrame, win: String, watermark: String,
+               scale: Double, maxSegs: Int = 1 << 17): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import StreamingDiff._
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(win))
+    val winMillis = java.util.concurrent.TimeUnit.MICROSECONDS.toMillis(
+      org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+        winMs, java.util.concurrent.TimeUnit.MICROSECONDS))
+    val wmMillis = java.util.concurrent.TimeUnit.MICROSECONDS.toMillis(
+      org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+        org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(watermark)),
+        java.util.concurrent.TimeUnit.MICROSECONDS))
+    val rows = stream
+      .withColumn("P", token_partials(col("tokens"), scale))
+      .where(col("P").isNotNull)
+      .withWatermark("event_time", watermark)
+      .select(col("source"),
+        window(col("event_time"), win)("start").cast("long").as("bucketS"),
+        // micros, not a seconds cast: sub-second timestamps must order
+        // identically to the batch cascade's (event_time, doc_id) key
+        unix_micros(col("event_time")).as("ts"), col("doc_id"),
+        // the watermark-tagged column must reach the stateful operator for
+        // EventTimeTimeout to be accepted (it is otherwise unused)
+        col("event_time"),
+        col("P.n"), col("P.s1"), col("P.s2"), col("P.s3"), col("P.s4"),
+        col("P.mn"), col("P.mx"), col("P.sumAbsD"), col("P.sumDSq"),
+        col("P.sumESq"), col("P.f1"), col("P.f2"), col("P.l1"), col("P.l2"),
+        col("P.zc"), col("P.fSgn"), col("P.lSgn"),
+        coalesce(col("n_tok").cast("long"), col("P.n")).as("rowTokens"))
+      .as[In]
+    rows.groupByKey(r => (r.source, r.bucketS))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), it: Iterator[In], state: GroupState[St]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(St(Vector.empty, 0L,
+              0.0, 0.0, 0.0, 0.0, Double.PositiveInfinity,
+              Double.NegativeInfinity, 0.0, 0.0, 0.0, 0L, 0L, 0L))
+            it.foreach { r =>
+              st = St(
+                st.segs :+ Seg(r.ts, r.doc_id, r.f1, r.f2, r.l1, r.l2,
+                  r.fSgn, r.lSgn),
+                st.n + r.n, st.s1 + r.s1, st.s2 + r.s2, st.s3 + r.s3,
+                st.s4 + r.s4, math.min(st.mn, r.mn), math.max(st.mx, r.mx),
+                st.accAbsD + r.sumAbsD, st.accDSq + r.sumDSq,
+                st.accESq + r.sumESq, st.accZc + r.zc,
+                st.rowsIn + 1, st.tokensIn + r.rowTokens)
+            }
+            if (st.segs.size > maxSegs) throw new IllegalStateException(
+              s"diffTier window $key exceeds maxSegs=$maxSegs rows; " +
+                "route hot windows through the batch cascade")
+            val sorted = st.segs.sortBy(s => (s.ts, s.docId)).toVector
+            st = st.copy(segs = sorted)
+            state.update(st)
+            // evict one watermark past the window end (never behind the
+            // current watermark — Spark rejects stale timeout timestamps)
+            state.setTimeoutTimestamp(math.max(
+              (key._2 * 1000L) + winMillis + wmMillis,
+              state.getCurrentWatermarkMs() + 1))
+            // bridge terms over consecutive boundaries — the same algebra
+            // as TokenRollup.mergeToBuckets' lag bridge
+            var sumAbsD = st.accAbsD; var sumDSq = st.accDSq
+            var sumESq = st.accESq; var zc = st.accZc
+            var i = 1
+            while (i < sorted.length) {
+              val a = sorted(i - 1); val b = sorted(i)
+              val d = b.f1 - a.l1
+              sumAbsD += math.abs(d)
+              sumDSq += d * d
+              sumESq += math.pow(d - (a.l1 - a.l2), 2) +
+                math.pow((b.f2 - b.f1) - d, 2)
+              if (b.fSgn == 0 && a.lSgn != 0) zc += 1
+              if (b.fSgn * a.lSgn < 0) zc += 1
+              i += 1
+            }
+            val h = sorted.head; val l = sorted.last
+            Iterator.single(Out(key._1, key._2, st.n, st.s1, st.s2, st.s3,
+              st.s4, st.mn, st.mx, sumAbsD, sumDSq, sumESq,
+              h.f1, h.f2, l.l1, l.l2, zc, h.fSgn, l.lSgn,
+              st.rowsIn, st.tokensIn))
+          }
+        })
+      .toDF()
+  }
+
+  /** Bounded-source synchronous run of the diff tier; emissions are
+    * deduplicated to the final (max rows_in) state per key. */
+  def runOnceDiff(spark: SparkSession, sourceDir: String, win: String,
+                  watermark: String, scale: Double,
+                  queryName: String): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = diffTier(stream, win, watermark, scale)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = spark.table(queryName)
+    val outCols = t.columns.filterNot(c => c == "source" || c == "bucketS")
+    t.groupBy(col("source"), col("bucketS"))
+      .agg(max_by(struct(outCols.map(col): _*), col("rows_in")).as("o"))
+      .select(col("source") +: col("bucketS") +:
+        outCols.map(c => col(s"o.$c").as(c)): _*)
+  }
+}
+
+/** Typed rows for the stateful diff tier. */
+object StreamingDiff {
+  final case class Seg(ts: Long, docId: String, f1: Double, f2: Double,
+                       l1: Double, l2: Double, fSgn: Int, lSgn: Int)
+  final case class St(segs: Vector[Seg], n: Long, s1: Double, s2: Double,
+                      s3: Double, s4: Double, mn: Double, mx: Double,
+                      accAbsD: Double, accDSq: Double, accESq: Double,
+                      accZc: Long, rowsIn: Long, tokensIn: Long)
+  final case class In(source: String, bucketS: Long, ts: Long,
+                      doc_id: String, event_time: java.sql.Timestamp,
+                      n: Long, s1: Double, s2: Double,
+                      s3: Double, s4: Double, mn: Double, mx: Double,
+                      sumAbsD: Double, sumDSq: Double, sumESq: Double,
+                      f1: Double, f2: Double, l1: Double, l2: Double,
+                      zc: Long, fSgn: Int, lSgn: Int, rowTokens: Long)
+  final case class Out(source: String, bucketS: Long, n: Long, s1: Double,
+                       s2: Double, s3: Double, s4: Double, mn: Double,
+                       mx: Double, sumAbsD: Double, sumDSq: Double,
+                       sumESq: Double, f1: Double, f2: Double, l1: Double,
+                       l2: Double, zc: Long, fSgn: Int, lSgn: Int,
+                       rows_in: Long, tokens_in: Long)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FeatureParams
+
+/** The r3 doGenCode paths (TokenFeature, TokenPartialsExpr, CosineSimExpr)
+  * must produce bit-identical results to the interpreted eval path —
+  * including the NULL cases (null input, below-min-length arrays,
+  * non-finite kernel results). Equality is asserted by running the same
+  * plans with whole-stage codegen + codegen'd projections ON vs forced
+  * interpreted (factoryMode=NO_CODEGEN). */
+class CodegenSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def bothModes(df: => org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+    def rows(): Seq[String] = df.collect().map(_.toString).toSeq.sorted
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen = rows()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = rows()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    (gen, interp)
+  }
+
+  test("TokenFeature + TokenPartials: codegen == interpreted incl. null cases") {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val bulk = graft.gen.TokenGen.bulk(spark, 150, nSources = 4,
+      minLen = 4, maxLen = 256)
+      .select(col("doc_id"), col("tokens"))
+    // edge rows: null array, empty, 1-sample, constant (zero variance =>
+    // non-finite kernels => NULL), 3 samples (between minLens)
+    val edges = Seq(
+      ("edge_null", null),
+      ("edge_empty", Array.emptyIntArray),
+      ("edge_one", Array(5)),
+      ("edge_const", Array.fill(64)(7)),
+      ("edge_three", Array(1, -2, 3))
+    ).toDF("doc_id", "tokens")
+    val df = bulk.unionByName(edges)
+    val p = FeatureParams(sfreq = 256.0, scale = 1.0 / (1 << 24))
+    val scalars = Seq("mean", "std", "skewness", "kurtosis", "line_length",
+      "hjorth_mobility", "hjorth_complexity", "higuchi_fd", "katz_fd",
+      "zero_crossings", "spect_entropy", "samp_entropy", "hurst_exp")
+    val vectors = Seq("quantile", "pow_freq_bands", "teager_kaiser_energy")
+    def sel = df.select(
+      (col("doc_id") +:
+        scalars.map(n => graft.functions.feature(n, col("tokens"), p).as(n)) ++:
+        vectors.map(n => graft.functions.feature(n, col("tokens"), p).as(n)) ++:
+        Seq(graft.functions.token_partials(col("tokens"), p.scale).as("P"))): _*)
+    val (gen, interp) = bothModes(sel)
+    assert(gen.size == interp.size && gen.nonEmpty)
+    gen.zip(interp).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("CosineSimExpr: codegen == interpreted") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def sel = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") < col("b.vec_id") && col("b.vec_id") <= 20)
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.operators.AnnOps.cosine(col("a.v"), col("b.v")).as("sim"))
+    val (gen, interp) = bothModes(sel)
+    assert(gen.size == interp.size && gen.nonEmpty)
+    gen.zip(interp).foreach { case (a, b) => assert(a == b) }
+  }
+}

@@ -100,4 +100,40 @@ class EngineApiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stateful diff tier == batch cascade for the diff family " +
+    "(line_length, Hjorth sums, zero crossings)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdiff").toString
+    val scale = 1.0 / (1 << 24)
+    TokenGen.bulk(spark, 300, nSources = 3, minLen = 64, maxLen = 256)
+      .write.mode("overwrite").parquet(dir)
+
+    val streamed = graft.streaming.StreamingRollup
+      .runOnceDiff(spark, dir, "1 hour", "10 minutes", scale, "stream_diff")
+      .select(col("source"), col("bucketS"),
+        (col("sumAbsD") / (col("n") - 1)).as("line_length"),
+        col("sumDSq"), col("sumESq"), col("zc"), col("n"))
+
+    val states = graft.engine.TokenRollup.rowStates(spark.read.parquet(dir), scale)
+    val batch = graft.engine.TokenRollup.mergeToBuckets(states, "1 hour",
+      Seq("event_time", "doc_id"))
+      .select(col("source"), unix_timestamp(col("bucket")).as("bucketS"),
+        (col("P.sumAbsD") / (col("P.n") - 1)).as("line_length"),
+        col("P.sumDSq"), col("P.sumESq"), col("P.zc"), col("P.n").as("n"))
+
+    val a = streamed.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, ra) =>
+      val rb = b(k)
+      for (i <- 2 until 5) {
+        val va = ra.getDouble(i); val vb = rb.getDouble(i)
+        assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(vb)),
+          s"$k col $i: stream $va vs batch $vb")
+      }
+      assert(ra.getLong(5) == rb.getLong(5), s"$k zc")
+      assert(ra.getLong(6) == rb.getLong(6), s"$k n")
+    }
+  }
 }
