@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -65,12 +65,22 @@ object CosineSimExpr {
 case class HyperplaneBandSigExpr(child: Expression,
                                  planes: Seq[Seq[Double]],
                                  bitsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_bands"
 
   @transient private lazy val planeArr: Array[Array[Double]] =
     planes.map(_.toArray).toArray
+
+  // instance kernel (the planes are constructor state), called straight
+  // from generated code with the child ArrayData
+  def kernel(input: ArrayData): ArrayData = nullSafeEval(input).asInstanceOf[ArrayData]
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftHyperplanes", this,
+      classOf[HyperplaneBandSigExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()

@@ -144,7 +144,7 @@ object FeatureCatalog {
   * `ArrayData` inside the row — no explode, no shuffle — so a raw-tier
   * feature pass is a single narrow projection that whole-stage codegen
   * pipelines over the parquet scan. The kernel itself is O(n..n^2) per row,
-  * dwarfing the one boxed call CodegenFallback adds.
+  * dwarfing the per-row kernel-call overhead.
   *
   * Null semantics: null input, arrays shorter than the kernel's minimum,
   * and non-finite kernel results (e.g. SampEn undefined — the reference

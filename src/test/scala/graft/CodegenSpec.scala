@@ -64,6 +64,36 @@ class CodegenSpec extends AnyFunSuite {
     gen.zip(interp).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("text-hash + hyperplane kernels: codegen == interpreted") {
+    import spark.implicits._
+    val docs = graft.operators.TextOps.docs(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "one"),
+        (9003L, "  two words  ")).toDF("doc_id", "text"))
+    def selDocs = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.ShinglesExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), 3)).as("sh"),
+      graft.operators.DedupOps.simhash(col("text")).as("sim"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.FingerprintExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("text")))).as("fp"))
+      .withColumn("mh", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MinHashExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh")), 64)))
+    val (gd, id) = bothModes(selDocs)
+    assert(gd == id && gd.nonEmpty)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def selEmb = emb.select(col("vec_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HyperplaneBandSigExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
+          graft.operators.DedupOps.hyperplanes.map(_.toSeq).toSeq, 4)).as("bands"))
+    val (ge, ie) = bothModes(selEmb)
+    assert(ge == ie && ge.nonEmpty)
+  }
+
   test("CosineSimExpr: codegen == interpreted") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
