@@ -88,6 +88,23 @@ object FeatureEngine {
       case _ => Seq(s"${alias}__$ch")
     }
 
+  private def validate(selected: Seq[String]): Unit = {
+    val known = graft.functions.FeatureCatalog.all.keySet
+    val bad = selected.filterNot(known.contains)
+    require(bad.isEmpty,
+      s"unknown feature alias(es): ${bad.mkString(", ")} — valid: ${known.toSeq.sorted.mkString(", ")}")
+  }
+
+  private def aliasCols(alias: String, tokensCol: String, chName: String,
+                        base: FeatureParams,
+                        funcsParams: Map[String, String]): Seq[Column] = {
+    val p = resolveParams(alias, base, funcsParams)
+    val names = featureNames(alias, p, chName)
+    val c = feature(alias, col(tokensCol), p)
+    if (names.size == 1) Seq(c.as(names.head))
+    else names.zipWithIndex.map { case (nm, i) => element_at(c, i + 1).as(nm) }
+  }
+
   /** Extract selected features as a wide DataFrame (one row per epoch). */
   def extract(df: DataFrame, tokensCol: String, selected: Seq[String],
               funcsParams: Map[String, String] = Map(),
@@ -95,17 +112,37 @@ object FeatureEngine {
               chName: String = "ch0",
               keep: Seq[String] = Seq("doc_id"),
               userFuncs: Seq[(String, Column => Column)] = Nil): DataFrame = {
-    val known = graft.functions.FeatureCatalog.all.keySet
-    val bad = selected.filterNot(known.contains)
-    require(bad.isEmpty,
-      s"unknown feature alias(es): ${bad.mkString(", ")} — valid: ${known.toSeq.sorted.mkString(", ")}")
+    validate(selected)
+    val cols = selected.flatMap(aliasCols(_, tokensCol, chName, base, funcsParams)) ++
+      userFuncs.map { case (nm, fn) => fn(col(tokensCol)).as(s"${nm}__$chName") }
+    df.select((keep.map(col) ++ cols): _*)
+  }
+
+  /** Multi-channel extract — the reference's `ch_names` presentation
+    * surface (feature_extraction.py:234-241): one signal column per
+    * channel, output columns `<alias>__<chName>[__suffix]` alias-major
+    * then channel (the reference's MultiIndex column order). `channels`
+    * maps signal column name -> presented channel name (the rename the
+    * reference applies via the `ch\\d+` regex). All channels share
+    * `base`/`funcsParams` routing, exactly like the reference's
+    * per-feature (not per-channel) params. */
+  def extractMulti(df: DataFrame, channels: Seq[(String, String)],
+                   selected: Seq[String],
+                   funcsParams: Map[String, String] = Map(),
+                   base: FeatureParams = FeatureParams(),
+                   keep: Seq[String] = Seq("doc_id"),
+                   userFuncs: Seq[(String, Column => Column)] = Nil): DataFrame = {
+    validate(selected)
+    require(channels.nonEmpty, "at least one channel required")
+    require(channels.map(_._2).distinct.size == channels.size,
+      s"channel names must be distinct: ${channels.map(_._2).mkString(", ")}")
     val cols = selected.flatMap { alias =>
-      val p = resolveParams(alias, base, funcsParams)
-      val names = featureNames(alias, p, chName)
-      val c = feature(alias, col(tokensCol), p)
-      if (names.size == 1) Seq(c.as(names.head))
-      else names.zipWithIndex.map { case (nm, i) => element_at(c, i + 1).as(nm) }
-    } ++ userFuncs.map { case (nm, fn) => fn(col(tokensCol)).as(s"${nm}__$chName") }
+      channels.flatMap { case (sigCol, chName) =>
+        aliasCols(alias, sigCol, chName, base, funcsParams)
+      }
+    } ++ userFuncs.flatMap { case (nm, fn) =>
+      channels.map { case (sigCol, chName) => fn(col(sigCol)).as(s"${nm}__$chName") }
+    }
     df.select((keep.map(col) ++ cols): _*)
   }
 }

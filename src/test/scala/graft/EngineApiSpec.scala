@@ -54,6 +54,41 @@ class EngineApiSpec extends AnyFunSuite {
     assert(udfOut.columns.contains("n_higher_than_mean__ch0"))
   }
 
+  test("FeatureEngine.extractMulti: ch_names presentation over multi-channel " +
+    "epochs (feature_extraction.py:234-241)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // two channels per epoch row, custom presented names
+    val fx = TokenGen.fixtures(spark)
+    val two = fx.where(col("doc_id") === "data1/ch0")
+      .select(lit(1L).as("epoch_id"), col("tokens").as("sigA"))
+      .crossJoin(fx.where(col("doc_id") === "data1/ch1")
+        .select(col("tokens").as("sigB")))
+    val out = FeatureEngine.extractMulti(two,
+      channels = Seq("sigA" -> "Fz", "sigB" -> "Cz"),
+      selected = Seq("mean", "quantile"),
+      funcsParams = Map("quantile__q" -> "0.25,0.75"),
+      base = FeatureParams(sfreq = 8.0, scale = scale),
+      keep = Seq("epoch_id"))
+    // alias-major then channel (reference MultiIndex order), renamed chans
+    assert(out.columns.toSeq == Seq("epoch_id",
+      "mean__Fz", "mean__Cz",
+      "quantile__Fz__0", "quantile__Fz__1",
+      "quantile__Cz__0", "quantile__Cz__1"))
+    val r = out.head
+    assert(math.abs(r.getAs[Double]("mean__Fz") - (-0.25)) < 1e-9)
+    // per-channel values match single-channel extract
+    val single = FeatureEngine.extract(
+      two.select(col("epoch_id").as("doc_id"), col("sigB").as("tokens")),
+      "tokens", Seq("mean"), base = FeatureParams(sfreq = 8.0, scale = scale))
+    assert(r.getAs[Double]("mean__Cz") ==
+      single.head.getAs[Double]("mean__ch0"))
+    // duplicate channel names rejected
+    intercept[IllegalArgumentException] {
+      FeatureEngine.extractMulti(two, Seq("sigA" -> "x", "sigB" -> "x"),
+        Seq("mean"))
+    }
+  }
+
   test("SparkEntry.entry flagship returns rows (driver smoke contract)") {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.entry(spark)
