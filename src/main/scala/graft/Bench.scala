@@ -262,7 +262,11 @@ object Bench {
             case (s4, s1) => s1 / (4.0 * s4)
           }
           System.err.println(f"[bench] round=$round clean eff=$eff%.3f")
-          if (eff >= 0.8) earlyExit = true
+          // plausibility band: a 4-thread JVM cannot really beat 4x a
+          // 1-thread JVM — eff >> 1 means the p=1 best is still an
+          // interference-inflated sample, so keep sampling that side
+          // (the ADVICE-r2 upward-bias guard, applied to early-exit)
+          if (eff >= 0.8 && eff <= 1.15) earlyExit = true
         }
       }
 
