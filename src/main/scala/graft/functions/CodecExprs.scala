@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -12,7 +12,8 @@ import graft.codec.{DeltaOfDelta, Gorilla}
   * encode -> parquet with no driver involvement.
   */
 case class GorillaEncodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = BinaryType
   override def nullSafeEval(input: Any): Any =
     Gorilla.encode(input.asInstanceOf[ArrayData].toDoubleArray())
@@ -20,7 +21,8 @@ case class GorillaEncodeExpr(child: Expression)
 }
 
 case class GorillaDecodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(Gorilla.decode(input.asInstanceOf[Array[Byte]]))
@@ -28,7 +30,8 @@ case class GorillaDecodeExpr(child: Expression)
 }
 
 case class DodEncodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = BinaryType
   override def nullSafeEval(input: Any): Any =
     DeltaOfDelta.encode(input.asInstanceOf[ArrayData].toLongArray())
@@ -36,7 +39,8 @@ case class DodEncodeExpr(child: Expression)
 }
 
 case class DodDecodeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(DeltaOfDelta.decode(input.asInstanceOf[Array[Byte]]))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -16,7 +16,8 @@ import graft.gen.SplitMix64
   * scan over every document.
   */
 case class MinHashExpr(child: Expression, k: Int = 64)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
@@ -66,7 +67,8 @@ object MinHashExpr {
   * interpreted transform(sequence)+hash(concat_ws(slice)) pipeline that
   * re-walked the word array per gram. */
 case class ShinglesExpr(child: Expression, n: Int = 3)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
@@ -120,7 +122,8 @@ object ShinglesExpr {
   * prime — every intermediate fits int64, and the DuckDB oracle replicates
   * the arithmetic exactly). One pass per row. */
 case class FingerprintExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_fingerprint"
 
@@ -164,7 +167,8 @@ object FingerprintExpr {
 
 /** 64-bit SimHash over whitespace tokens of a text column, one pass. */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 

@@ -165,6 +165,30 @@ final class TableIO(val root: String) {
     if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
   }
 
+  /** Read a compressed chunk tier back as per-point rows: DoD-decoded
+    * bucket timestamps zipped with every Gorilla-decoded feature series,
+    * exploded. The scan + decode + explode are all native expressions
+    * inside whole-stage codegen (the idiomatic read path — composing the
+    * built-in parquet source with the codec expressions beats a custom
+    * DataSource reimplementing parquet). Feature list is discovered from
+    * the chunk schema (`<feature>_gor` columns). */
+  def readChunkPoints(spark: SparkSession, tier: String): Option[DataFrame] =
+    read(spark, s"$tier-chunks").map { chunks =>
+      val feats = chunks.columns.filter(_.endsWith("_gor"))
+        .map(_.stripSuffix("_gor")).toSeq
+      val zipped = chunks.select(col("source"), col("commit_bucket"),
+        arrays_zip((col("ts_dod") +: feats.map(f => col(s"${f}_gor")))
+          .zip("bucket_s" +: feats)
+          .map { case (c, nm) =>
+            (if (nm == "bucket_s") graft.functions.dod_decode(c)
+             else graft.functions.gorilla_decode(c)).as(nm)
+          }: _*).as("z"))
+      zipped.select(col("source"), col("commit_bucket"), explode(col("z")).as("p"))
+        .select(Seq(col("source"), col("commit_bucket"),
+          col("p.bucket_s").as("bucket_s")) ++
+          feats.map(f => col(s"p.$f").as(f)): _*)
+    }
+
   /** Append per-bucket lineage rows (driver-side, tiny). */
   def appendLineage(jobId: String, tier: String,
                     rows: Seq[(Long, Long, Long, String)]): Unit = synchronized {

@@ -14,3 +14,9 @@ object ColumnBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
+
+/** Alias for the private[sql] AbstractDataType so graft expressions can
+  * override ExpectsInputTypes.inputTypes (implicit input coercion). */
+object TypeShims {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}

@@ -117,6 +117,21 @@ class RollupEngineSpec extends AnyFunSuite {
     val mism = joined.where(col("d.mean") =!= col("t.mean")).count()
     assert(mism == 0, s"$mism decoded values differ from tier points")
 
+    // first-class reader: readChunkPoints reconstructs every chunked
+    // feature column exactly (schema discovered from *_gor columns)
+    val pts = ioA.readChunkPoints(spark, "1h").get
+    val tierFull = ioA.read(spark, "1h").get
+      .select(col("source"), unix_timestamp(col("bucket")).as("bucket_s"),
+        col("mean"), col("variance"), col("line_length"),
+        col("hjorth_mobility"), col("hjorth_complexity"))
+    val jp = pts.drop("commit_bucket").as("p")
+      .join(tierFull.as("t"), Seq("source", "bucket_s"))
+    assert(jp.count() == tierFull.count() && jp.count() == pts.count())
+    for (f <- Seq("mean", "variance", "line_length", "hjorth_mobility",
+      "hjorth_complexity")) {
+      assert(jp.where(col(s"p.$f") =!= col(s"t.$f")).count() == 0, f)
+    }
+
     // resume: interrupt after day 1 (commit only first day), then resume;
     // final table must equal the uninterrupted run
     val allDays = bulk.select(unix_timestamp(date_trunc("day", col("event_time"))).as("d"))
