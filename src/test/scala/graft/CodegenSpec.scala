@@ -94,6 +94,21 @@ class CodegenSpec extends AnyFunSuite {
     assert(ge == ie && ge.nonEmpty)
   }
 
+  test("codec exprs: codegen == interpreted (roundtrip columns)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def sel = ev.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .select(col("event_type"),
+        graft.functions.gorilla_decode(graft.functions.gorilla_encode(
+          col("evs.value"))).as("v"),
+        graft.functions.dod_decode(graft.functions.dod_encode(
+          transform(col("evs"), e => unix_timestamp(e.getField("ts")))))
+          .as("t"))
+    val (g, i) = bothModes(sel)
+    assert(g == i && g.nonEmpty)
+  }
+
   test("CosineSimExpr: codegen == interpreted") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

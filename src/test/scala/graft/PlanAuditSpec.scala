@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gates for the scale-critical operators: the
+  * r2 verdict's scale-killers were all PLAN shapes (a row_number window
+  * shuffling every ANN candidate, vectors riding the near-dup pair
+  * exchange, unbounded collect_list state). These tests pin the fixed
+  * shapes so a refactor cannot silently reintroduce them. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  test("ANN top-k: map-side bounded heap + broadcast queries, no window") {
+    val p = plan("q_ann_cosine_top1")
+    assert(p.contains("partial_graft_bounded_sorted_collect"),
+      "top-k must partially aggregate map-side")
+    assert(p.contains("BroadcastExchange"), "query side must broadcast")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "no per-query window over the full candidate set")
+  }
+
+  test("IVF top-1: min_by partial aggregate, no window") {
+    val p = plan("q_ann_ivf_top1")
+    assert(p.contains("partial_min_by"))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "))
+  }
+
+  test("embedding near-dup: cosine reduced before the pair exchange") {
+    val p = plan("q_embed_near_dup")
+    assert(p.contains("partial_max"),
+      "pair groupBy must partial-aggregate the scalar cosine map-side")
+    // the full vectors must NOT survive into the pair aggregation keys
+    val aggIdx = p.indexOf("partial_max")
+    assert(aggIdx >= 0 && !p.substring(aggIdx, math.min(p.length, aggIdx + 400))
+      .contains("first(va"), "vectors must not ride the pair shuffle")
+  }
+
+  test("tier rollup: single exchange shared by bridge window and groupBy") {
+    val p = plan("q_tier_1h")
+    // one shuffle for the (source, window) clustering; AQE may add a
+    // final output exchange for the orderBy — count the hash-partition
+    // exchanges feeding the aggregation instead of total occurrences
+    val hashExchanges = "hashpartitioning\\(source".r
+      .findAllMatchIn(p.toLowerCase).size
+    assert(hashExchanges <= 2, s"tier plan shuffled $hashExchanges times:\n$p")
+  }
+
+  test("raw-tier projection: column pruning reaches the parquet scan") {
+    import org.apache.spark.sql.functions._
+    val tokens = spark.read.parquet(s"$sfDir/events.parquet")
+    // pruning check on a real parquet scan: select 2 of 5 columns
+    val df = tokens.select(col("user_id"), col("value"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<user_id") &&
+      !scan.contains("event_type"), s"scan not pruned:\n$scan")
+  }
+}
