@@ -403,6 +403,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL image decode gate (r3): deterministic P5 PGM payloads built
+    // per doc_id, decoded by the pure-JVM netpbm parser; the oracle
+    // recomputes the pixel function in closed form
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TextOps.docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        graft.operators.MultimodalOps.Media(id, "image",
+          graft.operators.MediaCodecs.encodePgm(8, 8,
+            Array.tabulate(64)(i => ((id * 31 + i) % 256).toInt)),
+          8, 8, 0, "synth")
+      }
+      graft.operators.MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("decoded"), col("dec_width"),
+          col("dec_height"), duckRound(col("brightness"), 6).as("brightness"))
+        .orderBy("media_id")
+    }),
+
     "q_ann_cosine_top1" -> ((s, dir) =>
       AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
         .select(col("query_id"), col("nn_id"), col("cos_sim"))
@@ -643,6 +661,12 @@ object SparkEntry {
            (CAST(sum(abs(dd)) AS DOUBLE) / (count(*) - 1)) / 100.0
              AS line_length
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+           8 AS dec_width, 8 AS dec_height,
+           round(list_sum(list_transform(range(64),
+             i -> (doc_id * 31 + i) % 256)) / 64.0 / 255.0, 6) AS brightness
+         FROM documents ORDER BY doc_id""",
     "q_ann_cosine_top1" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),
          sims AS (

@@ -1,0 +1,253 @@
+package graft.operators
+
+/** Pure-JVM media codecs for the multimodal pipeline — REAL decoders for
+  * the library-free formats (the container ships no image/audio codecs,
+  * but netpbm, uncompressed BMP and PCM WAV are plain byte layouts):
+  *
+  *  - PGM (P5) / PPM (P6): binary netpbm, maxval <= 255
+  *  - BMP: uncompressed 24-bit BI_RGB, bottom-up rows, 4-byte row padding
+  *  - WAV: RIFF/WAVE, PCM (format 1), 16-bit little-endian
+  *
+  * Compressed formats (JPEG/PNG/MP3/H.264...) remain out of scope — the
+  * pipeline routes unknown magics through the deterministic fallback
+  * kernel (MultimodalOps) with a `decoded=false` flag instead of failing
+  * the job on a poison blob.
+  */
+object MediaCodecs {
+
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Int]) { // row-major, channel-interleaved, 0..255
+    def meanPixel: Double = {
+      var s = 0L
+      var i = 0
+      while (i < pixels.length) { s += pixels(i); i += 1 }
+      s.toDouble / math.max(pixels.length, 1)
+    }
+  }
+
+  final case class Audio(sampleRate: Int, channels: Int,
+                         samples: Array[Short]) // interleaved PCM16
+
+  // ---- netpbm (PGM P5 / PPM P6) -----------------------------------------
+
+  def encodePgm(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height, "pixel count != w*h")
+    val header = s"P5\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < pixels.length) {
+      out(header.length + i) = (pixels(i) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def isNetpbm(bytes: Array[Byte]): Boolean =
+    bytes.length > 2 && bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6')
+
+  /** Decode binary PGM/PPM. Throws IllegalArgumentException on malformed
+    * input (callers decide whether to fall back). */
+  def decodeNetpbm(bytes: Array[Byte]): Image = {
+    require(isNetpbm(bytes), "not a P5/P6 netpbm payload")
+    val channels = if (bytes(1) == '5') 1 else 3
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else done = true
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < bytes.length && (bytes(pos) >= '0' && bytes(pos) <= '9')) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, s"malformed netpbm header at byte $pos")
+      v
+    }
+    val w = int(); val h = int(); val maxval = int()
+    require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
+      s"unsupported netpbm dims/maxval w=$w h=$h maxval=$maxval")
+    pos += 1 // single whitespace after maxval
+    val n = w * h * channels
+    require(bytes.length - pos >= n,
+      s"truncated netpbm payload: need $n raster bytes, have ${bytes.length - pos}")
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) { px(i) = bytes(pos + i) & 0xff; i += 1 }
+    Image(w, h, channels, px)
+  }
+
+  /** Nearest-neighbour resize — a REAL image transform (no libraries):
+    * the scale path for thumbnailing before embedding. */
+  def resizeNearest(img: Image, w2: Int, h2: Int): Image = {
+    require(w2 > 0 && h2 > 0)
+    val out = new Array[Int](w2 * h2 * img.channels)
+    var y = 0
+    while (y < h2) {
+      val sy = math.min((y.toLong * img.height / h2).toInt, img.height - 1)
+      var x = 0
+      while (x < w2) {
+        val sx = math.min((x.toLong * img.width / w2).toInt, img.width - 1)
+        var c = 0
+        while (c < img.channels) {
+          out((y * w2 + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Image(w2, h2, img.channels, out)
+  }
+
+  // ---- BMP (uncompressed 24-bit BI_RGB) ---------------------------------
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M'
+
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height * 3)
+    val rowBytes = (width * 3 + 3) & ~3
+    val dataSize = rowBytes * height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putLe32(out, 2, out.length); putLe32(out, 10, 54)
+    putLe32(out, 14, 40); putLe32(out, 18, width); putLe32(out, 22, height)
+    putLe16(out, 26, 1); putLe16(out, 28, 24)
+    putLe32(out, 30, 0); putLe32(out, 34, dataSize)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = (srcRow * width + x) * 3
+        val o = 54 + y * rowBytes + x * 3
+        out(o) = (rgb(p + 2) & 0xff).toByte     // B
+        out(o + 1) = (rgb(p + 1) & 0xff).toByte // G
+        out(o + 2) = (rgb(p) & 0xff).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def decodeBmp24(bytes: Array[Byte]): Image = {
+    require(isBmp(bytes), "not a BMP payload")
+    val dataOff = le32(bytes, 10)
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"only uncompressed 24-bit BMP supported (bpp=$bpp compression=$compression)")
+    require(w > 0 && h > 0, s"bad BMP dims ${w}x$hRaw")
+    val rowBytes = (w * 3 + 3) & ~3
+    require(bytes.length >= dataOff + rowBytes.toLong * h, "truncated BMP")
+    val px = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val o = dataOff + srcRow * rowBytes + x * 3
+        val p = (y * w + x) * 3
+        px(p) = bytes(o + 2) & 0xff     // R
+        px(p + 1) = bytes(o + 1) & 0xff // G
+        px(p + 2) = bytes(o) & 0xff     // B
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, 3, px)
+  }
+
+  // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length > 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+                     samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putLe32(out, 4, 36 + dataSize)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putLe32(out, 16, 16); putLe16(out, 20, 1); putLe16(out, 22, channels)
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * channels * 2)
+    putLe16(out, 32, channels * 2); putLe16(out, 34, 16)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putLe32(out, 40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      putLe16(out, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  def decodeWavPcm16(bytes: Array[Byte]): Audio = {
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    // walk chunks: fmt then data (tolerate extra chunks between)
+    var pos = 12
+    var sampleRate = -1
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = le32(bytes, pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"truncated WAV chunk '$id'")
+      if (id == "fmt ") {
+        val fmt = le16(bytes, pos + 8)
+        require(fmt == 1, s"only PCM WAV supported (format=$fmt)")
+        channels = le16(bytes, pos + 10)
+        sampleRate = le32(bytes, pos + 12)
+        val bits = le16(bytes, pos + 22)
+        require(bits == 16, s"only 16-bit PCM supported (bits=$bits)")
+      } else if (id == "data") {
+        dataOff = pos + 8; dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((bytes(dataOff + i * 2) & 0xff) |
+        (bytes(dataOff + i * 2 + 1) << 8)).toShort
+      i += 1
+    }
+    Audio(sampleRate, channels, samples)
+  }
+}
