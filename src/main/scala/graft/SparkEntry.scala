@@ -276,6 +276,11 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       DedupOps.minhashCandidates(TextOps.docs(s, dir), 0.2)
         .orderBy("doc_a", "doc_b")),
+    // duplicate clusters: connected components over the LSH pair graph,
+    // component-min labels + canonical keep flag (see DedupOps)
+    "q_dedup_clusters" -> ((s, dir) =>
+      DedupOps.duplicateClusters(TextOps.docs(s, dir), 0.5)
+        .orderBy("doc_id")),
     "q_dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashSignatures(TextOps.docs(s, dir)).orderBy("doc_id")),
     // exact Jaccard verification over the MinHash-LSH candidate set (the

@@ -112,6 +112,56 @@ object DedupOps {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Duplicate clusters (the dedup endgame): connected components of the
+    * LSH candidate-pair graph, labels = component-minimum doc_id, plus the
+    * canonical keep flag (keep the minimum doc of each cluster, drop the
+    * rest). Emits only docs that appear in at least one candidate pair —
+    * singletons are trivially kept and never shuffled.
+    *
+    * Execution: iterative min-label propagation entirely in DataFrame ops
+    * (join + groupBy(min) per round) — O(component diameter) rounds, and
+    * near-dup components are shallow (template families join through
+    * shared members), so 3-5 rounds converge in practice; hard cap +
+    * convergence check. Each round shuffles only (doc_id, label) pairs —
+    * 16 bytes/row — regardless of document size. */
+  def duplicateClusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+                        maxIters: Int = 20): DataFrame =
+    clustersFromPairs(
+      minhashCandidates(docs, minEstJaccard).select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** Connected components over an undirected (doc_a, doc_b) pair set. */
+  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")),
+          "doc_b")
+        .groupBy(col("doc_a").as("doc_id")).agg(min(col("nl")).as("minNbr"))
+      val next = labels.join(nbrMin, Seq("doc_id"))
+        .select(col("doc_id"),
+          least(col("label"), col("minNbr")).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("keep"))
+  }
+
   /** 64-bit SimHash over word hashes: bit b of the signature = sign of the
     * vote sum over tokens' bit b. Computed per row with array expressions —
     * no explode, no shuffle. */

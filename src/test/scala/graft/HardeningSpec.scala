@@ -162,6 +162,38 @@ class HardeningSpec extends AnyFunSuite {
     assert(DedupOps.minhashCandidates(docs, 0.2, maxBucket = 1).count() == 0)
   }
 
+  test("duplicateClusters: connected components, component-min labels, keep-list") {
+    import spark.implicits._
+    // hand-built graph: {1,2,3,4} via chain 1-2,2-3,3-4; {10,11}; {20,21,22}
+    // via star 20-21,20-22 — chain forces multiple propagation rounds
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (21L, 20L),
+      (22L, 20L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.clustersFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      20L -> (20L, true), 21L -> (20L, false), 22L -> (20L, false)))
+    // end-to-end over the corpus: every candidate pair lands in one
+    // cluster; exactly one keep per cluster, and it is the minimum
+    val docs = graft.operators.TextOps.docs(spark, sfDir)
+    val clusters = DedupOps.duplicateClusters(docs, 0.5).persist()
+    val lbl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cand = DedupOps.minhashCandidates(docs, 0.5)
+      .select("doc_a", "doc_b").collect()
+    assert(cand.nonEmpty)
+    cand.foreach(r => assert(lbl(r.getLong(0)) == lbl(r.getLong(1))))
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keeps"),
+        min("doc_id").as("mn"), first("cluster_id").as("cid"))
+      .collect()
+    perCluster.foreach { r =>
+      assert(r.getLong(1) == 1L, "exactly one keep per cluster")
+      assert(r.getLong(2) == r.getLong(3), "label is the component minimum")
+    }
+    clusters.unpersist()
+  }
+
   test("BoundedWeightedCollect: holisticFeatures == unbounded formulation, " +
     "state bounded when one window exceeds maxTokens") {
     import graft.engine.TokenRollup

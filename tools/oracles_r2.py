@@ -135,6 +135,22 @@ WITH {GRAMS.strip().lstrip()},
 SELECT doc_a, doc_b, est_jaccard FROM est
 WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b"""
 
+    o["q_dedup_clusters"] = f"""
+WITH RECURSIVE {GRAMS.strip().lstrip()},
+  {HASH_STAGES.strip().lstrip()},
+  {minhash_cte(coefs).strip().lstrip()},
+  pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+  nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+  r(doc_id, label) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.a, r.label FROM edges e JOIN r ON r.doc_id = e.b)
+SELECT doc_id, min(label) AS cluster_id,
+  doc_id = min(label) AS keep
+FROM r GROUP BY doc_id ORDER BY doc_id"""
+
     o["q_dedup_ngram_jaccard"] = f"""
 WITH {GRAMS.strip().lstrip()},
   {HASH_STAGES.strip().lstrip()},
