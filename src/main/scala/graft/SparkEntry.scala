@@ -596,16 +596,27 @@ object SparkEntry {
          FROM joined ORDER BY 1, 2""",
     "q_doc_token_count" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_m
          FROM documents ORDER BY doc_id""",
     "q_doc_quality" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+      """WITH s AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
            round(CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                  / length(text), 6) AS punct_ratio,
            round(CAST(length(text) AS DOUBLE)
-                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS chars_per_word
-         FROM documents ORDER BY doc_id""",
+                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS chars_per_word,
+           round(CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+          + (length(t) - length(replace(t, ' and ', ''))) / 5
+          + (length(t) - length(replace(t, ' of ', ''))) / 4
+          + (length(t) - length(replace(t, ' to ', ''))) / 4
+          + (length(t) - length(replace(t, ' a ', ''))) / 3
+          + (length(t) - length(replace(t, ' in ', ''))) / 4
+          + (length(t) - length(replace(t, ' is ', ''))) / 4
+          + (length(t) - length(replace(t, ' it ', ''))) / 4 AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio
+         FROM s ORDER BY doc_id""",
     "q_doc_langid" ->
       """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
          sc AS (SELECT doc_id,

@@ -13,22 +13,38 @@ object TextOps {
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** Whitespace token count + char count. */
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * punctuation marks — the GPT-2-style split shape restricted to
+    * constructs with identical semantics in Java regex and RE2, so the
+    * DuckDB oracle counts the exact same matches. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace token count + BPE-ish regex token count + char count. */
   def tokenCount(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_m"))
 
+  /** English stopword markers for the quality stopword ratio (whole-word
+    * occurrences via space padding — SQL-replicable, codegen'd). */
+  val Stopwords: Seq[String] = Seq(" the ", " and ", " of ", " to ", " a ",
+    " in ", " is ", " it ")
+
   /** Quality heuristics: length, word count, punctuation density,
-    * chars-per-word (the mean-word-length proxy). */
+    * chars-per-word (the mean-word-length proxy), stopword ratio. */
   def quality(df: DataFrame): DataFrame = {
     val words = size(split(trim(col("text")), "\\s+"))
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val stopHits = Stopwords.map(k => occurrences(padded, k)).reduce(_ + _)
     df.select(col("doc_id"),
       length(col("text")).cast("long").as("n_chars_m"),
       words.cast("long").as("n_words"),
       graft.functions.duckRound(length(regexp_replace(col("text"), "[^.!?,;:]", ""))
         .cast("double") / length(col("text")), 6).as("punct_ratio"),
-      graft.functions.duckRound(length(col("text")).cast("double") / words, 6).as("chars_per_word"))
+      graft.functions.duckRound(length(col("text")).cast("double") / words, 6).as("chars_per_word"),
+      graft.functions.duckRound(stopHits.cast("double") / words, 6).as("stopword_ratio"))
   }
 
   /** Stopword-frequency language ID: score per language = occurrences of
