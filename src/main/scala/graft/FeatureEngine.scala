@@ -48,6 +48,7 @@ object FeatureEngine {
     p("epoch_len").foreach(v => out = out.copy(epochLen = v.toInt))
     p("mt_bandwidth").foreach(v => out = out.copy(mtHalfNbw = v.toDouble))
     p("mt_low_bias").foreach(v => out = out.copy(mtLowBias = v.toBoolean))
+    p("mt_adaptive").foreach(v => out = out.copy(mtAdaptive = v.toBoolean))
     out
   }
 

@@ -6,10 +6,12 @@ import NumKit._
   * (psd_method + the reference's welch_* psd_params + multitaper knobs). */
 final case class PsdConf(method: String = "fft", nFft: Int = 256,
                          nPerSeg: Int = -1, nOverlap: Int = 0,
-                         mtHalfNbw: Double = 4.0, mtLowBias: Boolean = true) {
+                         mtHalfNbw: Double = 4.0, mtLowBias: Boolean = true,
+                         mtAdaptive: Boolean = false) {
   def spectrum(x: Array[Double], sfreq: Double): Psd.Spectrum =
     Psd.compute(x, sfreq, method, welchNFft = nFft, welchNPerSeg = nPerSeg,
-      welchNOverlap = nOverlap, mtHalfNbw = mtHalfNbw, mtLowBias = mtLowBias)
+      welchNOverlap = nOverlap, mtHalfNbw = mtHalfNbw, mtLowBias = mtLowBias,
+      mtAdaptive = mtAdaptive)
 }
 
 /** The 28 univariate per-epoch feature kernels, each an exact semantic port

@@ -27,7 +27,8 @@ object Psd {
               fmin: Double = DefaultFmin, fmax: Double = DefaultFmax,
               welchNFft: Int = 256, welchNPerSeg: Int = -1,
               welchNOverlap: Int = 0, mtHalfNbw: Double = 4.0,
-              mtLowBias: Boolean = true): Spectrum = {
+              mtLowBias: Boolean = true,
+              mtAdaptive: Boolean = false): Spectrum = {
     val fLo = math.max(0.0, fmin)
     val fHi = math.min(fmax, sfreq / 2)
     method match {
@@ -35,7 +36,7 @@ object Psd {
       case "welch" => welchPsd(x, sfreq, fLo, fHi, welchNFft, welchNPerSeg,
                                welchNOverlap)
       case "multitaper" => multitaperPsd(x, sfreq, fLo, fHi, mtHalfNbw,
-                                         mtLowBias)
+                                         mtLowBias, mtAdaptive)
       case other => throw new IllegalArgumentException(
         s"psd_method '$other' not supported (valid: fft, welch, multitaper)")
     }
@@ -49,32 +50,93 @@ object Psd {
     * DC and Nyquist not doubled. */
   private def multitaperPsd(x: Array[Double], sfreq: Double, fLo: Double,
                             fHi: Double, halfNbw: Double,
-                            lowBias: Boolean): Spectrum = {
+                            lowBias: Boolean, adaptive: Boolean): Spectrum = {
     val n = x.length
     val tp = Dpss.tapers(n, halfNbw, lowBias)
     val half = n / 2 + 1
-    val acc = new Array[Double](half)
-    var lamSum = 0.0
+    val nTap = tp.tapers.length
+    // per-taper eigenspectra |X_k(f)|^2
+    val spectra = new Array[Array[Double]](nTap)
     var k = 0
-    while (k < tp.tapers.length) {
+    while (k < nTap) {
       val taper = tp.tapers(k)
-      val lam = tp.lambdas(k)
-      lamSum += lam
       val xt = new Array[Double](n)
       var i = 0
       while (i < n) { xt(i) = x(i) * taper(i); i += 1 }
       val (re, im) = Fft.rfft(xt)
+      val sk = new Array[Double](half)
       i = 0
-      while (i < half) {
-        acc(i) += lam * (re(i) * re(i) + im(i) * im(i))
-        i += 1
-      }
+      while (i < half) { sk(i) = re(i) * re(i) + im(i) * im(i); i += 1 }
+      spectra(k) = sk
       k += 1
     }
+    val comb = new Array[Double](half)
+    if (!adaptive || nTap < 3) {
+      // eigenvalue-weighted combination (mne's non-adaptive default).
+      // EXACT arithmetic shape of the r2 path — acc / (sfreq * lamSum) in
+      // one division — preserved below via lamScale (the multitaper
+      // oracle replicates it bit-for-bit).
+      var i = 0
+      while (i < half) {
+        var a = 0.0
+        k = 0
+        while (k < nTap) { a += tp.lambdas(k) * spectra(k)(i); k += 1 }
+        comb(i) = a
+        i += 1
+      }
+    } else {
+      // Thomson adaptive weights (Percival & Walden eq. 370, the
+      // published recipe behind mne's adaptive=True): iterate
+      //   b_k(f) = S(f) / (lambda_k S(f) + (1 - lambda_k) sigma^2)
+      //   S(f)  <- sum_k b_k^2 lambda_k S_k(f) / sum_k b_k^2 lambda_k
+      // from the average of the two lowest-bias eigenspectra; sigma^2 is
+      // the process variance estimate (biased sample variance).
+      var sig2 = 0.0
+      var mean = 0.0
+      var i = 0
+      while (i < n) { mean += x(i); i += 1 }
+      mean /= n
+      i = 0
+      while (i < n) { val d = x(i) - mean; sig2 += d * d; i += 1 }
+      sig2 /= n
+      i = 0
+      while (i < half) { comb(i) = 0.5 * (spectra(0)(i) + spectra(1)(i)); i += 1 }
+      var iter = 0
+      var maxRel = Double.MaxValue
+      while (iter < 150 && maxRel > 1e-10) {
+        maxRel = 0.0
+        i = 0
+        while (i < half) {
+          val s = comb(i)
+          var num = 0.0
+          var den = 0.0
+          k = 0
+          while (k < nTap) {
+            val lam = tp.lambdas(k)
+            val b = s / (lam * s + (1.0 - lam) * sig2)
+            val w = b * b * lam
+            num += w * spectra(k)(i)
+            den += w
+            k += 1
+          }
+          val sNew = if (den > 0) num / den else s
+          val rel = math.abs(sNew - s) / math.max(s, 1e-300)
+          if (rel > maxRel) maxRel = rel
+          comb(i) = sNew
+          i += 1
+        }
+        iter += 1
+      }
+    }
+    val adaptiveUsed = adaptive && nTap >= 3
+    var lamSum = 0.0
+    k = 0
+    while (k < nTap) { lamSum += tp.lambdas(k); k += 1 }
+    val scaleDen = if (adaptiveUsed) sfreq else sfreq * lamSum
     val psd = new Array[Double](half)
     var i = 0
     while (i < half) {
-      var v = acc(i) / (sfreq * lamSum)
+      var v = comb(i) / scaleDen
       if (i != 0 && !(n % 2 == 0 && i == half - 1)) v *= 2.0
       psd(i) = v
       i += 1

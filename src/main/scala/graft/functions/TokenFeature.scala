@@ -43,9 +43,10 @@ case class FeatureParams(
     welchNPerSeg: Int = -1, // -1 => n_fft
     welchNOverlap: Int = 0,
     // multitaper knobs (mne psd_array_multitaper: bandwidth=None =>
-    // half_nbw 4, low_bias=True)
+    // half_nbw 4, low_bias=True, adaptive=False)
     mtHalfNbw: Double = 4.0,
     mtLowBias: Boolean = true,
+    mtAdaptive: Boolean = false,
     // declared epoch length: drives the OUTPUT ARITY of the wavelet-family
     // features (decomposition depth = min(floor(log2(n/7)), 6) depends on
     // n). Callers with shorter epochs must declare it or the extra columns
@@ -54,7 +55,7 @@ case class FeatureParams(
 
   def psdConf: graft.core.PsdConf =
     graft.core.PsdConf(psdMethod, welchNFft, welchNPerSeg, welchNOverlap,
-      mtHalfNbw, mtLowBias)
+      mtHalfNbw, mtLowBias, mtAdaptive)
 
   def bands: Array[(Double, Double)] =
     if (bandPairs.nonEmpty) bandPairs.toArray

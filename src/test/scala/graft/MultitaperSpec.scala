@@ -90,6 +90,47 @@ class MultitaperSpec extends AnyFunSuite {
     assert(near / sp.psd.sum > 0.85, s"mass ratio ${near / sp.psd.sum}")
   }
 
+  test("adaptive multitaper (Thomson weights): converges, stays Parseval-" +
+    "scaled, concentrates a tone, routes via mt_adaptive") {
+    val n = 128
+    val sfreq = 64.0
+    val rng = new graft.gen.SplitMix64(11L)
+    // white noise: adaptive and non-adaptive must agree in overall scale
+    val wn = Array.fill(n)(rng.nextGaussian())
+    val pa = Psd.compute(wn, sfreq, "multitaper", mtAdaptive = true)
+    val pn = Psd.compute(wn, sfreq, "multitaper")
+    assert(pa.psd.forall(v => v > 0 && v.isFinite))
+    assert(pa.freqs.toSeq == pn.freqs.toSeq)
+    val df = sfreq / n
+    val power = wn.map(v => v * v).sum / n
+    val mass = pa.psd.sum * df
+    assert(mass > 0.5 * power && mass < 2.0 * power, s"mass $mass vs $power")
+    // per-bin agreement within the estimator variance envelope
+    pa.psd.indices.foreach { i =>
+      val r = pa.psd(i) / pn.psd(i)
+      assert(r > 0.1 && r < 10.0, s"bin $i ratio $r")
+    }
+    // tone + weak noise: adaptive weighting must keep the tone peak and
+    // NOT leak more out-of-band mass than the non-adaptive estimate
+    val f0 = 8.0
+    val tone = Array.tabulate(n)(t =>
+      math.cos(2 * math.Pi * f0 * t / sfreq) + 0.01 * rng.nextGaussian())
+    val ta = Psd.compute(tone, sfreq, "multitaper", mtAdaptive = true)
+    val tn = Psd.compute(tone, sfreq, "multitaper")
+    val peakA = ta.freqs(ta.psd.indexOf(ta.psd.max))
+    assert(math.abs(peakA - f0) <= sfreq / n + 1e-9)
+    val bw = 4.0 * sfreq / n
+    def outOfBand(sp: Psd.Spectrum): Double =
+      sp.psd.indices.filter(i => math.abs(sp.freqs(i) - f0) > bw)
+        .map(sp.psd).sum / sp.psd.sum
+    assert(outOfBand(ta) <= outOfBand(tn) + 1e-9,
+      s"adaptive leaked more: ${outOfBand(ta)} vs ${outOfBand(tn)}")
+    // FeatureParams routing end to end
+    val e = graft.core.Features.spectEntropy(wn, sfreq, "multitaper",
+      graft.core.PsdConf(mtAdaptive = true))
+    assert(e > 0 && e.isFinite)
+  }
+
   test("multitaper psd: broadband parity of scale (Parseval-ish) and " +
     "FeatureParams threading") {
     val rng = new graft.gen.SplitMix64(5L)
