@@ -95,12 +95,43 @@ object AnnOps {
     cents
   }
 
+  /** IVF-bucketed approximate top-k: candidates from the probed cells,
+    * ranked by the same map-side bounded heap as bruteForceTopK. */
+  def ivfTopK(emb: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              queryMod: Int = 50): DataFrame = {
+    val cand = ivfCandidates(emb, nLists, nProbe, queryMod)
+    cand.groupBy(col("query_id"))
+      .agg(graft.functions.bounded_sorted_collect(
+        struct((-col("sim")).as("negsim"), col("nn_id"), col("sim")), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.nn_id").as("nn_id"),
+        graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"),
+        (col("pos") + lit(1)).cast("int").as("rk"))
+  }
+
   /** IVF-bucketed approximate top-1: nLists deterministic centroids from
     * the corpus itself (every (n/nLists)-th vector by ascending id — a
     * seeded sample; see kmeansCentroids for the skew-robust variant),
     * corpus assigned to nearest centroid, queries probe nProbe cells. */
   def ivfTop1(emb: DataFrame, nLists: Int = 16, nProbe: Int = 4,
               queryMod: Int = 50): DataFrame = {
+    val cand = ivfCandidates(emb, nLists, nProbe, queryMod)
+    // map-side top-1: min_by on the (negsim, nn_id) order key is a plain
+    // partial-aggregatable hash aggregate — one tiny struct per query per
+    // partition crosses the exchange (vs a full candidate shuffle under a
+    // row_number window)
+    cand.groupBy(col("query_id"))
+      .agg(min_by(struct(col("nn_id"), col("sim")),
+        struct((-col("sim")).as("negsim"), col("nn_id"))).as("t"))
+      .select(col("query_id"), col("t.nn_id").as("nn_id"),
+        graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"))
+  }
+
+  /** Shared IVF candidate generation (centroids, cell assignment, probe
+    * join). */
+  private def ivfCandidates(emb: DataFrame, nLists: Int, nProbe: Int,
+                            queryMod: Int): DataFrame = {
     val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(n / nLists, 1L)
@@ -125,18 +156,9 @@ object AnnOps {
     val queries = emb.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(nearestCells(col("v"), nProbe)).as("cell"))
-    val cand = corpus.select(col("cell"), col("vec_id").as("nn_id"), col("v").as("nv"))
+    corpus.select(col("cell"), col("vec_id").as("nn_id"), col("v").as("nv"))
       .join(broadcast(queries), Seq("cell"))
       .where(col("nn_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    // map-side top-1: min_by on the (negsim, nn_id) order key is a plain
-    // partial-aggregatable hash aggregate — one tiny struct per query per
-    // partition crosses the exchange (vs a full candidate shuffle under a
-    // row_number window)
-    cand.groupBy(col("query_id"))
-      .agg(min_by(struct(col("nn_id"), col("sim")),
-        struct((-col("sim")).as("negsim"), col("nn_id"))).as("t"))
-      .select(col("query_id"), col("t.nn_id").as("nn_id"),
-        graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"))
   }
 }

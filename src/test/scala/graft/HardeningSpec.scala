@@ -162,6 +162,23 @@ class HardeningSpec extends AnyFunSuite {
     assert(DedupOps.minhashCandidates(docs, 0.2, maxBucket = 1).count() == 0)
   }
 
+  test("ivfTopK: k=1 equals ivfTop1; k=3 ranked descending per query") {
+    val emb = AnnOps.embeddings(spark, sfDir)
+    val top1 = AnnOps.ivfTop1(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val topK1 = AnnOps.ivfTopK(emb, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(top1 == topK1 && top1.nonEmpty)
+    val top3 = AnnOps.ivfTopK(emb, 3).collect()
+      .groupBy(_.getLong(0))
+    top3.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sortBy(-_), s"not descending: $sims")
+    }
+    assert(top3.values.exists(_.length == 3))
+  }
+
   test("duplicateClusters: connected components, component-min labels, keep-list") {
     import spark.implicits._
     // hand-built graph: {1,2,3,4} via chain 1-2,2-3,3-4; {10,11}; {20,21,22}
