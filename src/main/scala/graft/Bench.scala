@@ -274,25 +274,36 @@ object Bench {
       val spark = newSession(cpus)
       spark.sparkContext.setLogLevel("ERROR")
       val named = SparkEntry.queries.toSeq.sortBy(_._1)
-      def onePass(): Map[String, Double] = named.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try forceEval(fn(spark, sfDir))
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+      def onePass(only: Set[String]): Map[String, Double] = named
+        .filter(q => only.isEmpty || only.contains(q._1))
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try forceEval(fn(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
       val passStart = elapsed
-      val pass1 = onePass()
+      val pass1 = onePass(Set.empty)
       state.queryTimes = pass1
       state.queryPasses = 1
       val pass1Sec = elapsed - passStart
       System.err.println(f"[bench] query pass 1 done in $pass1Sec%.1fs at ${elapsed}%.1fs")
-      if (remaining > pass1Sec * 1.3 + 60) {
-        val pass2 = onePass()
+      // Pass 2 takes the per-query min (one bad 30 s host window can put a
+      // query at 9x its quiet time) — but the structural gates (resume,
+      // streaming, clusters: full multi-job pipelines, 15-45 s each) would
+      // blow the budget, so pass 2 re-times only the LIGHT queries; heavy
+      // gates keep their single measurement.
+      val lightCut = 12.0
+      val light = pass1.filter(_._2 < lightCut).keySet
+      val lightSec = pass1.filter(_._2 < lightCut).values.sum
+      if (light.nonEmpty && remaining > lightSec * 1.5 + 60) {
+        val pass2 = onePass(light)
         state.queryTimes = pass1.map { case (k, v) =>
           k -> math.min(v, pass2.getOrElse(k, v))
         }
         state.queryPasses = 2
-        System.err.println(f"[bench] query pass 2 done at ${elapsed}%.1fs")
+        System.err.println(
+          f"[bench] query pass 2 (light, ${light.size} queries) done at ${elapsed}%.1fs")
       }
       spark.stop()
 
