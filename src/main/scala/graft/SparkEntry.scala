@@ -161,6 +161,18 @@ object SparkEntry {
         .orderBy("event_type", "bucket_s")
     }),
 
+    // linear-interpolation gap-fill on the same dense hourly grid
+    "q_gapfill_linear_1h" -> ((s, dir) => {
+      val ev = centsEvents(s, dir)
+      val agg = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("bucket"))
+        .agg((sum(col("c")).cast("double") / count(lit(1)) / 100.0).as("mean"))
+      Rollup.gapFillLinear(agg, Seq("event_type"), "bucket", Seq("mean"), "1 hour")
+        .select(col("event_type"), unix_timestamp(col("bucket")).as("bucket_s"),
+          duckRound(col("mean_lin"), 6).as("mean_lin"), col("filled"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
     // Streaming==batch gate: the SAME 10-minute token docs driven through
     // the watermarked Structured Streaming tier (AvailableNow -> memory
     // sink) must reproduce the direct 1h aggregate the oracle computes —
@@ -426,6 +438,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode gate: deterministic PCM-16 WAV payloads per
+    // doc_id, decoded by the pure-JVM RIFF parser; mean-abs level and
+    // sample count recomputed in closed form by the oracle
+    "q_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TextOps.docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        val n = 100 + (id % 50).toInt
+        graft.operators.MultimodalOps.Media(id, "audio",
+          graft.operators.MediaCodecs.encodeWavPcm16(16000, 1,
+            Array.tabulate(n)(t => (((id * 7 + t) % 200 - 100) * 100).toShort)),
+          0, 0, 16000, "synth")
+      }
+      graft.operators.MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("decoded"), col("dec_sample_rate"),
+          duckRound(col("brightness"), 6).as("level"), col("n_frames"))
+        .orderBy("media_id")
+    }),
+
     "q_ann_cosine_top1" -> ((s, dir) =>
       AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
         .select(col("query_id"), col("nn_id"), col("cos_sim"))
@@ -594,6 +625,39 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_locf,
            CASE WHEN mean IS NULL THEN 1 ELSE 0 END AS filled
          FROM joined ORDER BY 1, 2""",
+    "q_gapfill_linear_1h" ->
+      """WITH agg AS (
+           SELECT event_type, date_trunc('hour', ts) AS b,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS mean
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
+         grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds),
+         joined AS (
+           SELECT g.event_type, g.b, a.mean FROM grid g
+           LEFT JOIN agg a ON a.event_type = g.event_type AND a.b = g.b),
+         w AS (
+           SELECT event_type, b, mean, epoch(b)::BIGINT AS t,
+             last_value(mean IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN mean IS NOT NULL THEN epoch(b)::BIGINT END
+               IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(mean IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN mean IS NOT NULL THEN epoch(b)::BIGINT END
+               IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM joined)
+         SELECT event_type, t AS bucket_s,
+           round(CASE WHEN mean IS NOT NULL THEN mean
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6) AS mean_lin,
+           CASE WHEN mean IS NULL THEN 1 ELSE 0 END AS filled
+         FROM w ORDER BY 1, 2""",
     "q_doc_token_count" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
@@ -677,6 +741,15 @@ object SparkEntry {
            (CAST(sum(abs(dd)) AS DOUBLE) / (count(*) - 1)) / 100.0
              AS line_length
          FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+           16000 AS dec_sample_rate,
+           round(CAST(list_sum(list_transform(
+                   range(100 + doc_id % 50),
+                   t -> abs(((doc_id * 7 + t) % 200 - 100) * 100))) AS DOUBLE)
+                 / (100 + doc_id % 50) / 32768.0, 6) AS level,
+           1 AS n_frames
+         FROM documents ORDER BY doc_id""",
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id, true AS decoded,
            8 AS dec_width, 8 AS dec_height,
