@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
 import graft.gen.TokenGen
 
 /** Benchmark main — DEADLINE-AWARE: the whole run fits inside
-  * `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 690 s) and ALWAYS prints the
-  * one JSON result line, even on partial evidence (a watchdog thread
-  * force-emits and exits if the deadline overruns — the r2 artifact was
-  * lost to a driver timeout, which is strictly worse than a partial
-  * measurement).
+  * `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 1050 s — the driver's proven
+  * budget is >= 1219 s: round 1 completed rc=0 at 1219 s) and ALWAYS
+  * prints the one JSON result line, even on partial evidence (a watchdog
+  * thread force-emits and exits if the deadline overruns — the r2
+  * artifact was lost to a driver timeout, which is strictly worse than a
+  * partial measurement).
   *
   * Phase order (the scaling number carries the north rule's pass/fail, so
-  * it runs FIRST):
+  * it runs FIRST — but the query suite is GUARANTEED a slot right after
+  * the first scaling round, clean pair or not: r3's artifact spent its
+  * whole budget on scaling + a query pass whose partial timings were
+  * discarded, shipping query_passes=0):
   *
+  * 0. Scaling token table (cached across rounds); its generation time is
+  *    charged against the deadline and noted when it eats > 25% of it.
   * 1. Rollup scaling at p=1 vs p=4N=4 ("N and 4N cores" protocol): fresh
   *    child JVM per pass, levels interleaved, EARLY-EXIT once one clean
   *    (p=1, p=4) pair measures efficiency >= 0.8. "Clean" = the pass's
@@ -25,12 +31,20 @@ import graft.gen.TokenGen
   *    CPU is workload-constant on this host; cpu >> envelope means the
   *    hypervisor charged CPU without progress — see BENCH.md forensics).
   *    Interfered passes are excluded from the headline (ADVICE r2);
-  *    best-of and median efficiencies are both reported.
+  *    best-of and median efficiencies are both reported. At most TWO
+  *    rounds run before the query suite; retries continue after it.
   * 2. Query suite on SPARK_GRAFT_SF_DIR: every SparkEntry query, forced to
-  *    full evaluation with a checksum aggregation (a bare count() would
-  *    let Catalyst prune the feature columns and time nothing). One pass
-  *    always; a second pass (per-query min) only if budget remains.
-  * 3. Supplementary wide-JVM passes (p=2, 8) only with leftover budget.
+  *    full evaluation with ONE checksum-aggregation action (a bare
+  *    count() would let Catalyst prune the feature columns and time
+  *    nothing; a separate count() action would time a second full
+  *    evaluation). Each query's time is recorded into watchdog-visible
+  *    state AS IT FINISHES, heavy structural gates run last, and the
+  *    pass self-truncates (with a note) when the remaining budget runs
+  *    low — a watchdog emit mid-pass still carries every timing measured
+  *    so far. A second light-only pass (per-query min) only if budget
+  *    remains.
+  * 3. Leftover budget: scaling retries for any level still missing a
+  *    clean pass, then supplementary wide-JVM passes (p=2, 8).
   */
 object Bench {
 
@@ -38,8 +52,10 @@ object Bench {
   private object state {
     val emitted = new AtomicBoolean(false)
     var sfDir = ""
-    var queryTimes: Map[String, Double] = Map.empty
-    var queryPasses = 0
+    // written by the query pass as each query finishes; read by the
+    // watchdog thread — volatile so a forced emit sees the latest map
+    @volatile var queryTimes: Map[String, Double] = Map.empty
+    @volatile var queryPasses = 0
     // (p, sec, tokens, cpu, clean)
     var passes: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
     var extras: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
@@ -50,11 +66,14 @@ object Bench {
   private def elapsed: Double = (System.nanoTime() - startNs) / 1e9
 
   private def forceEval(df: DataFrame): Long = {
-    // double-avg of the row hash: forces every column's evaluation
-    // (a bare count() would be pruned) and cannot overflow under ANSI
+    // double-avg of the row hash forces every column's evaluation (a bare
+    // count() would be pruned) and cannot overflow under ANSI; the row
+    // count rides in the SAME aggregation so the query is evaluated
+    // exactly once per timing (a separate count() action re-ran the whole
+    // plan and doubled every per-query number through r3)
     val cols = df.columns.map(c => col(c).cast("string"))
-    df.select(xxhash64(cols: _*).cast("double").as("h")).agg(avg("h")).collect()
-    df.count()
+    df.select(xxhash64(cols: _*).cast("double").as("h"))
+      .agg(avg("h"), count(lit(1))).collect()(0).getLong(1)
   }
 
   private def newSession(cpus: Int): SparkSession = {
@@ -191,7 +210,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "690").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1050").toDouble
     // scaling table: 160k docs keeps the fixed per-query overheads small
     // relative to compute (the regime where the engine's scaling is
     // measurable); the per-child cost is tamed by RollupBench's
@@ -223,18 +242,20 @@ object Bench {
         s.stop()
       }
       System.err.println(f"[bench] table ready at ${elapsed}%.1fs")
+      if (elapsed > deadlineSec * 0.25) state.notes :+= "tablegen_slow"
 
       // ---- phase 1: interleaved scaling, early-exit on clean pair -------
       // The scaling number carries the north rule's pass/fail, so round 1
       // runs UNCONDITIONALLY (it must never be starved by the query
-      // reserve — the query suite is the secondary artifact); later rounds
-      // only run if one query pass still fits afterwards.
-      val queryReserve = 200.0
+      // reserve); but at most TWO rounds run before the query suite — the
+      // suite is guaranteed its slot (r3 shipped query_passes=0), and
+      // phase 3 resumes scaling retries afterwards with whatever is left.
+      val queryReserve = 420.0
       var round = 0
       var earlyExit = false
       def roundBudgetOk: Boolean =
-        if (round == 0) remaining > 100 else remaining > queryReserve + 120
-      while (!earlyExit && round < 4 && roundBudgetOk) {
+        if (round == 0) remaining > 100 else remaining > queryReserve + 150
+      while (!earlyExit && round < 2 && roundBudgetOk) {
         round += 1
         for (p <- Seq(1, 4) if !earlyExit && remaining > 90) {
           val reserve = if (round == 1) 30.0 else queryReserve
@@ -273,21 +294,42 @@ object Bench {
       // ---- phase 2: query suite (pass 1 always; pass 2 if budget) -------
       val spark = newSession(cpus)
       spark.sparkContext.setLogLevel("ERROR")
-      val named = SparkEntry.queries.toSeq.sortBy(_._1)
-      def onePass(only: Set[String]): Map[String, Double] = named
-        .filter(q => only.isEmpty || only.contains(q._1))
-        .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try forceEval(fn(spark, sfDir))
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-          name -> (System.nanoTime() - t0) / 1e9
-        }.toMap
+      // heavy structural gates (multi-job pipelines, 15-45 s each) run
+      // LAST so a truncated/watchdogged pass still carries the bulk of
+      // the suite's evidence
+      val heavy = Set("q_resume_equivalence", "q_streaming_equivalence",
+        "q_dedup_clusters")
+      val named = SparkEntry.queries.toSeq
+        .sortBy { case (n, _) => (heavy.contains(n), n) }
+      // Each finished query lands in watchdog-visible state IMMEDIATELY
+      // (r3's watchdog emit mid-pass discarded ~600 s of finished
+      // timings); the pass cuts itself short when the budget runs out so
+      // the normal emit path, not the watchdog, usually ships the line.
+      def onePass(only: Set[String], recordLive: Boolean): Map[String, Double] = {
+        var acc = Map.empty[String, Double]
+        var truncated = false
+        for ((name, fn) <- named
+             if !truncated && (only.isEmpty || only.contains(name))) {
+          if (remaining < 40) {
+            truncated = true
+            state.notes :+= s"query_pass_truncated_before_$name"
+          } else {
+            val t0 = System.nanoTime()
+            try forceEval(fn(spark, sfDir))
+            catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+            val dt = (System.nanoTime() - t0) / 1e9
+            acc += name -> dt
+            if (recordLive) state.synchronized { state.queryTimes = acc }
+          }
+        }
+        acc
+      }
       val passStart = elapsed
-      val pass1 = onePass(Set.empty)
-      state.queryTimes = pass1
-      state.queryPasses = 1
+      val pass1 = onePass(Set.empty, recordLive = true)
+      if (pass1.size == named.size) state.queryPasses = 1
       val pass1Sec = elapsed - passStart
-      System.err.println(f"[bench] query pass 1 done in $pass1Sec%.1fs at ${elapsed}%.1fs")
+      System.err.println(
+        f"[bench] query pass 1 (${pass1.size}/${named.size}) done in $pass1Sec%.1fs at ${elapsed}%.1fs")
       // Pass 2 takes the per-query min (one bad 30 s host window can put a
       // query at 9x its quiet time) — but the structural gates (resume,
       // streaming, clusters: full multi-job pipelines, 15-45 s each) would
@@ -296,10 +338,16 @@ object Bench {
       val lightCut = 12.0
       val light = pass1.filter(_._2 < lightCut).keySet
       val lightSec = pass1.filter(_._2 < lightCut).values.sum
-      if (light.nonEmpty && remaining > lightSec * 1.5 + 60) {
-        val pass2 = onePass(light)
-        state.queryTimes = pass1.map { case (k, v) =>
-          k -> math.min(v, pass2.getOrElse(k, v))
+      // pass 2 only when the scaling pair is already settled — scaling
+      // retries (phase 3) outrank per-query-min polish
+      if (pass1.size == named.size && light.nonEmpty &&
+          (earlyExit || state.passes.exists(x => x._1 == 1 && x._5)) &&
+          remaining > lightSec * 1.5 + queryReserve / 2) {
+        val pass2 = onePass(light, recordLive = false)
+        state.synchronized {
+          state.queryTimes = pass1.map { case (k, v) =>
+            k -> math.min(v, pass2.getOrElse(k, v))
+          }
         }
         state.queryPasses = 2
         System.err.println(
@@ -307,16 +355,23 @@ object Bench {
       }
       spark.stop()
 
-      // ---- phase 3: leftover budget — first top-up any headline level
-      // still missing a clean pass, then supplementary wide-JVM evidence
-      for (p <- Seq(1, 4)
-           if !state.passes.exists(x => x._1 == p && x._5) && remaining > 150) {
-        timedChild(tokensPath, p, if (p == 1) 1 else 3,
-          math.min(remaining - 60, 300.0).toInt)
-          .foreach { case (sec, tok, cpu) =>
-            state.passes :+= ((p, sec, tok, cpu, cpu <= envelope))
-            System.err.println(f"[bench] topup p=$p sec=$sec%.3f cpu=$cpu%.3f")
-          }
+      // ---- phase 3: leftover budget — first retry any headline level
+      // still missing a clean pass (multiple rounds if needed), then
+      // supplementary wide-JVM evidence
+      var retry = 0
+      while (retry < 3 && Seq(1, 4).exists(p =>
+               !state.passes.exists(x => x._1 == p && x._5)) &&
+             remaining > 150) {
+        retry += 1
+        for (p <- Seq(1, 4)
+             if !state.passes.exists(x => x._1 == p && x._5) && remaining > 120) {
+          timedChild(tokensPath, p, if (p == 1) 1 else 3,
+            math.min(remaining - 60, 300.0).toInt)
+            .foreach { case (sec, tok, cpu) =>
+              state.passes :+= ((p, sec, tok, cpu, cpu <= envelope))
+              System.err.println(f"[bench] topup p=$p sec=$sec%.3f cpu=$cpu%.3f")
+            }
+        }
       }
       for (p <- Seq(2, 8) if remaining > 150) {
         timedChild(tokensPath, p, 1, math.min(remaining - 60, 180.0).toInt)
