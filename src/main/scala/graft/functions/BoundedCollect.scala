@@ -146,8 +146,11 @@ final class WeightedHeap(val heap: java.util.PriorityQueue[InternalRow],
   * plus one row instead of O(window size). Eviction rule: the largest kept
   * row is dropped whenever the strictly-smaller kept rows already weigh
   * >= maxWeight (it can then never contribute to the prefix). A row's
-  * weight is max(1, array length), so degenerate zero-length arrays still
-  * bound the row count.
+  * weight is its TRUE array length (ADVICE r3: padding it to 1 overstated
+  * the prefix and could evict a row the slice still needed); zero-length
+  * and null arrays contribute nothing to a downstream flatten+slice, so
+  * they are skipped outright — which is also what keeps the buffer
+  * row-count bounded by maxWeight + 1.
   */
 case class BoundedWeightedCollect(
     child: Expression,
@@ -174,8 +177,8 @@ case class BoundedWeightedCollect(
     TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
 
   private def weightOf(row: InternalRow): Long =
-    if (row.isNullAt(weightField)) 1L
-    else math.max(1L, row.getArray(weightField).numElements().toLong)
+    if (row.isNullAt(weightField)) 0L
+    else row.getArray(weightField).numElements().toLong
 
   private def newBuffer(): WeightedHeap =
     new WeightedHeap(new java.util.PriorityQueue[InternalRow](16,
@@ -184,10 +187,10 @@ case class BoundedWeightedCollect(
   override def createAggregationBuffer(): WeightedHeap = newBuffer()
 
   private def insert(buf: WeightedHeap, row: InternalRow, owned: Boolean): Unit = {
-    // skip rows that provably can't reach the prefix even alone is not
-    // possible without global knowledge; insert, then evict from the top
+    val w = weightOf(row)
+    if (w == 0) return // contributes nothing to flatten+slice; see class doc
     buf.heap.add(if (owned) row else row.copy())
-    buf.totalWeight += weightOf(row)
+    buf.totalWeight += w
     var headW = weightOf(buf.heap.peek())
     while (buf.heap.size > 1 && buf.totalWeight - headW >= maxWeight) {
       buf.heap.poll()

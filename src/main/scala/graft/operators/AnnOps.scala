@@ -42,6 +42,10 @@ object AnnOps {
     val joined = emb.select(col("vec_id").as("nn_id"), col("v").as("nv"))
       .join(broadcast(queries), col("nn_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
+      // zero-norm vectors yield NaN cosines; a NaN neighbour is
+      // meaningless, so drop it BEFORE ranking (NaN sorts above every
+      // double, so it would otherwise ride ordering quirks into top-k)
+      .where(!isnan(col("sim")))
     // bounded-heap partial top-k: ascending (negsim, nn_id) = sim desc with
     // nn_id tiebreak — identical ranking to the former row_number window,
     // but with map-side partials so only O(k) rows per query per partition
@@ -160,5 +164,6 @@ object AnnOps {
       .join(broadcast(queries), Seq("cell"))
       .where(col("nn_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
+      .where(!isnan(col("sim"))) // see bruteForceTopK: NaN = zero-norm vector
   }
 }

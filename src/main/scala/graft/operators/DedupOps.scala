@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline.
@@ -66,15 +65,18 @@ object DedupOps {
   def minhashSignaturesFrom(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), minhashSignature(col("sh")).as("sig"))
 
-  // The banded self-join reads its input twice (both sides of the join),
-  // so the shingle/minhash pass is persisted. One slot per operator class:
-  // a new call unpersists the previous cache instead of accumulating
-  // blocks across a query suite (ADVICE r2).
-  private val lastCached =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private def cacheReplacing(df: DataFrame): DataFrame = {
-    val prev = lastCached.getAndSet(df)
-    if (prev ne null) prev.unpersist(blocking = false)
+  // The candidate pipeline reads its shingle/minhash pass several times
+  // (banding + both sides of the pair-verification joins), so those
+  // frames are persisted. Bounded FIFO registry instead of a single
+  // last-one-wins slot (ADVICE r3): two dedup frames evaluated
+  // concurrently or interleaved each keep their cache alive; only caches
+  // beyond the 4 most recent are dropped, so storage across a query
+  // suite stays bounded without yanking a frame another plan still
+  // references.
+  private val cached = new java.util.ArrayDeque[DataFrame]()
+  private def cacheReplacing(df: DataFrame): DataFrame = synchronized {
+    cached.addLast(df)
+    while (cached.size > 4) cached.pollFirst().unpersist(blocking = false)
     df.persist()
   }
 
@@ -86,29 +88,48 @@ object DedupOps {
       minEstJaccard, maxBucket)
 
   /** Candidate pairs from a precomputed (doc_id, sig) frame — callers that
-    * also need the shingle sets (ngramJaccardLsh) share one shingle pass. */
+    * also need the shingle sets (ngramJaccardLsh) share one shingle pass.
+    *
+    * Scale shape (r4, replacing the r2-r3 row_number window): banded rows
+    * carry ONLY (band, bucket, doc_id) — never the 64-slot signature —
+    * and the hot-bucket cap is a MAP-SIDE bounded sorted collect: every
+    * stage (map-side partials and shuffle rows included) holds at most
+    * `maxBucket` doc_ids per (band, bucket), so a degenerate
+    * template-text mega-bucket costs O(maxBucket) memory and wire bytes
+    * instead of funnelling every member (with its ~512 B signature
+    * payload) through one window task's sort. Candidate pairs are then
+    * generated INSIDE the bounded per-bucket array (ids are ascending, so
+    * doc_a < doc_b by construction), dedup'd across bands on 16-byte
+    * pairs, and the signatures join back once per DISTINCT pair —
+    * est_jaccard is band-invariant, so this is output-identical to the
+    * old per-band compute + max. */
   def minhashCandidatesFrom(sigs: DataFrame, minEstJaccard: Double,
                             maxBucket: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => slice(col("sig"), b * lit(RowsPerBand) + lit(1), lit(RowsPerBand)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // hot-bucket cap: rank within (band, bucket) by doc_id, keep <= maxBucket
-    val ranked = banded.withColumn("rk", row_number().over(
-      Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))))
-      .where(col("rk") <= maxBucket)
-    val l = ranked.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = ranked.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
+    // hot-bucket cap: the maxBucket SMALLEST doc_ids per (band, bucket)
+    // — same kept set as ranking by ascending doc_id, but with bounded
+    // partial aggregation before the exchange
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.bounded_sorted_collect(
+        struct(col("doc_id")), maxBucket).as("ks"))
+      .where(size(col("ks")) > 1)
+    val ids = col("ks").getField("doc_id")
+    val pairs = buckets
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
           (acc, v) => acc + v).cast("double") / MinHashK).as("est_jaccard"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -118,12 +139,17 @@ object DedupOps {
     * rest). Emits only docs that appear in at least one candidate pair —
     * singletons are trivially kept and never shuffled.
     *
-    * Execution: iterative min-label propagation entirely in DataFrame ops
-    * (join + groupBy(min) per round) — O(component diameter) rounds, and
-    * near-dup components are shallow (template families join through
-    * shared members), so 3-5 rounds converge in practice; hard cap +
-    * convergence check. Each round shuffles only (doc_id, label) pairs —
-    * 16 bytes/row — regardless of document size. */
+    * Execution: min-label propagation WITH POINTER DOUBLING, entirely in
+    * DataFrame ops. Each round hooks every node to the minimum of its own
+    * and its neighbours' labels (join + groupBy(min)), then shortcuts
+    * label <- label(label) (labels only shrink, so a node's label's label
+    * is never larger — one jump halves the remaining pointer depth).
+    * Hook + shortcut converges in O(log diameter) rounds — a drifted
+    * near-dup CHAIN of length d costs ~log2(d) shuffle rounds, not d
+    * (the r3 verdict's scale gap). Each round shuffles only
+    * (doc_id, label) pairs — 16 bytes/row — regardless of document size.
+    * Non-convergence within maxIters (impossible for diameters below
+    * ~2^maxIters) fails loudly instead of shipping wrong labels. */
   def duplicateClusters(docs: DataFrame, minEstJaccard: Double = 0.5,
                         maxIters: Int = 20): DataFrame =
     clustersFromPairs(
@@ -131,35 +157,54 @@ object DedupOps {
       maxIters)
 
   /** Connected components over an undirected (doc_a, doc_b) pair set. */
-  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    clustersFromPairsCounted(pairs, maxIters)._1
+
+  /** As [[clustersFromPairs]], also returning the rounds used (the
+    * O(log d) convergence gate in DedupSpec asserts on it). */
+  private[graft] def clustersFromPairsCounted(
+      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    // localCheckpoint (not persist): the shortcut step references the
+    // round's frame TWICE, so carrying lineage across rounds would grow
+    // the logical plan exponentially — checkpointing pins each round to
+    // its materialized 16-byte rows and keeps the plan O(1) per round
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // hook: min over own + neighbour labels (every node has >= 1 edge,
+      // so the inner join covers the whole node set)
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")),
           "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nl")).as("minNbr"))
-      val next = labels.join(nbrMin, Seq("doc_id"))
+      val hooked = labels.join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
           least(col("label"), col("minNbr")).as("label"))
-        .persist()
+      // shortcut (pointer doubling): label <- label(label); left join
+      // for safety though every label is itself a node id
+      val next = hooked
+        .join(hooked.select(col("label").as("ll"), col("doc_id").as("label")),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .where(col("n.label") =!= col("o.label")).count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(blocking = false)
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("keep"))
+    if (!converged) throw new IllegalStateException(
+      s"clustersFromPairs: label propagation not converged after $maxIters rounds")
+    (labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("keep")), iter)
   }
 
   /** 64-bit SimHash over word hashes: bit b of the signature = sign of the
@@ -179,10 +224,11 @@ object DedupOps {
     * bounded candidate set, never all pairs. */
   def ngramJaccardLsh(docs: DataFrame, minEstJaccard: Double = 0.2): DataFrame = {
     // ONE shingle pass feeds both the signature/banding path and the exact
-    // verification join (the cached frame is read three times)
+    // verification join; the signature frame is cached separately (the
+    // candidate pipeline reads it three times)
     val sh = cacheReplacing(shingled(docs))
-    val cand = minhashCandidatesFrom(minhashSignaturesFrom(sh),
-      minEstJaccard, MaxBucket)
+    val cand = minhashCandidatesFrom(
+      cacheReplacing(minhashSignaturesFrom(sh)), minEstJaccard, MaxBucket)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

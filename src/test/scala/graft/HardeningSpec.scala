@@ -211,12 +211,36 @@ class HardeningSpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("clustersFromPairs: chain of 64 converges in O(log d) rounds " +
+    "(pointer doubling, not O(diameter) hook-only propagation)") {
+    import spark.implicits._
+    // worst case for min-label propagation: a single path 0-1-2-...-63
+    // ordered so the min label must travel the full diameter
+    val d = 64
+    val chain = (0 until d - 1).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    val (df, rounds) = DedupOps.clustersFromPairsCounted(chain, maxIters = 20)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == d && got.values.forall(_ == 0L),
+      "every chain node labels to the minimum")
+    val bound = (math.log(d.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"chain d=$d took $rounds rounds (bound $bound)")
+  }
+
   test("BoundedWeightedCollect: holisticFeatures == unbounded formulation, " +
     "state bounded when one window exceeds maxTokens") {
     import graft.engine.TokenRollup
     import graft.functions.FeatureParams
-    val bulk = graft.gen.TokenGen.bulk(spark, 400, nSources = 3,
-      minLen = 16, maxLen = 96).repartition(13).persist()
+    val nonEmpty = graft.gen.TokenGen.bulk(spark, 400, nSources = 3,
+      minLen = 16, maxLen = 96)
+    // empty token arrays contribute nothing to flatten+slice, but with a
+    // padded weight (pre-r4 max(1, len)) they inflated the prefix estimate
+    // and could evict rows the slice still needed (ADVICE r3) — interleave
+    // one empty twin per row to pin the equivalence
+    val empties = nonEmpty.select(concat(col("doc_id"), lit("_e")).as("doc_id"),
+      array().cast("array<int>").as("tokens"), lit(0).as("n_tok"),
+      col("source"), col("event_time"))
+    val bulk = nonEmpty.unionByName(empties).repartition(13).persist()
     val p = FeatureParams(sfreq = 256.0, scale = 1.0 / (1 << 24))
     def viaOld(maxTokens: Int) = bulk
       .groupBy(col("source"), window(col("event_time"), "1 hour").as("w"))

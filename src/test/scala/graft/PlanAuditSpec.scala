@@ -38,6 +38,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window "))
   }
 
+  test("minhash LSH: hot-bucket cap is a map-side bounded collect, " +
+    "no window, signatures stay off the bucket exchange") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("partial_graft_bounded_sorted_collect"),
+      "the per-bucket cap must partially aggregate map-side")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "no row_number window sorting a whole hot bucket in one task")
+    // the bucket-cap exchange must carry only (band, bucket, doc_id)
+    // partials — the 64-slot signature joins back per DISTINCT pair later
+    val aggIdx = p.indexOf("partial_graft_bounded_sorted_collect")
+    assert(!p.substring(aggIdx, math.min(p.length, aggIdx + 300))
+      .contains("sig"), "signatures must not ride the bucket exchange")
+  }
+
   test("embedding near-dup: cosine reduced before the pair exchange") {
     val p = plan("q_embed_near_dup")
     assert(p.contains("partial_max"),
