@@ -65,6 +65,22 @@ object Firwin {
   def autoTransHigh(f: Double, nyq: Double): Double =
     math.min(math.max(0.25 * f, 2.0), math.max(nyq - f, 1e-9))
 
+  // Designed taps are a pure function of (sfreq, fLo, fHi) but were
+  // re-derived per ROW per band through r3 — the (0.5, 4) Hz band at
+  // sfreq=256 designs 1691 taps, so the cache removes ~3.4k transcendental
+  // ops per row per band. Bounded: a feature run touches a handful of
+  // (rate, band) combinations; wholesale clear on pathological churn.
+  private val designCache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double), Array[Double]]()
+
+  /** [[design]] through the per-(sfreq, band) cache. Callers must not
+    * mutate the returned array. */
+  def designCached(sfreq: Double, fLo: Double, fHi: Double): Array[Double] = {
+    if (designCache.size > 64) designCache.clear()
+    designCache.computeIfAbsent((sfreq, fLo, fHi),
+      _ => design(sfreq, fLo, fHi))
+  }
+
   /** Band-pass (or pure low-pass when fLo <= 0) FIR taps, mne
     * create_filter + _firwin_design defaults. */
   def design(sfreq: Double, fLo: Double, fHi: Double): Array[Double] = {
@@ -132,11 +148,16 @@ object Firwin {
     val out = new Array[Double](n)
     var t = 0
     while (t < n) {
+      // valid tap range: idx = c + t - k in [0, m) <=> k in
+      // (c + t - m, c + t]; hoisting the bounds skips the out-of-range
+      // zero-contributions without touching summation order, so the
+      // result is bit-identical to the guarded full-range loop (the
+      // strict-float oracle replays this convolution term by term)
+      var k = math.max(0, c + t - m + 1)
+      val kEnd = math.min(l - 1, c + t)
       var s = 0.0
-      var k = 0
-      while (k < l) {
-        val idx = c + t - k
-        if (idx >= 0 && idx < m) s += h(k) * ext(idx)
+      while (k <= kEnd) {
+        s += h(k) * ext(c + t - k)
         k += 1
       }
       out(t) = s
@@ -148,7 +169,7 @@ object Firwin {
   /** Zero-phase band-pass of x in [fLo, fHi] Hz at sampling rate sfreq. */
   def filterBand(x: Array[Double], sfreq: Double, fLo: Double,
                  fHi: Double): Array[Double] =
-    applyZeroPhase(x, design(sfreq, fLo, fHi))
+    applyZeroPhase(x, designCached(sfreq, fLo, fHi))
 
   /** Derivative pre-filter: scipy.ndimage.convolve1d(x, [1, 0, -1],
     * mode='nearest') = x[i+1] - x[i-1] with edge replication

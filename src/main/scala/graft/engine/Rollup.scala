@@ -90,8 +90,11 @@ object Rollup {
   /** Dense-calendar LINEAR-interpolation gap-fill: interior gaps
     * interpolate between the surrounding observations (time-weighted);
     * trailing gaps carry the last observation forward (no future point
-    * exists). Same single-shuffle-per-key shape as LOCF — two ordered
-    * window scans instead of one. */
+    * exists); LEADING gaps back-fill from the first observation (no past
+    * point exists — reachable for secondary value columns whose first
+    * buckets are null even though the grid starts at the key's first
+    * observed bucket). Same single-shuffle-per-key shape as LOCF — two
+    * ordered window scans instead of one. */
   def gapFillLinear(rollup: DataFrame, keys: Seq[String], bucket: String,
                     valueCols: Seq[String], step: String): DataFrame = {
     val joined = denseGrid(rollup, keys, bucket, step)
@@ -108,6 +111,7 @@ object Rollup {
       df.withColumn(s"${c}_lin",
         when(col(c).isNotNull, col(c))
           .when(nv.isNull, pv) // trailing gap: LOCF
+          .when(pv.isNull, nv) // leading gap: next-observation back-fill
           .otherwise(pv + (nv - pv) * ((col("_ts") - pt) / (nt - pt))))
     }
     filled.withColumn("filled",

@@ -185,4 +185,29 @@ class RollupEngineSpec extends AnyFunSuite {
     assert(filled.where(col("filled") === 1).count() > 0)
     assert(filled.where(col("mean_locf").isNull).count() == 0)
   }
+
+  test("gap-fill linear: interior interpolation, trailing LOCF, leading " +
+    "back-fill when a secondary column's first buckets are null") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    // primary column a observed at hours 0/3/4; secondary b only at hour 3
+    // (the grid starts at a's first bucket, so b has a LEADING gap — the
+    // case that yielded null through r3)
+    val sparse = Seq(
+      ("k", ts(0), Option(10.0), Option.empty[Double]),
+      ("k", ts(3), Option(40.0), Option(7.0)),
+      ("k", ts(4), Option(50.0), Option.empty[Double]))
+      .toDF("source", "bucket", "a", "b")
+    val filled = graft.engine.Rollup.gapFillLinear(
+      sparse, Seq("source"), "bucket", Seq("a", "b"), "1 hour")
+      .orderBy("bucket")
+      .select("a_lin", "b_lin", "filled").collect()
+    val aLin = filled.map(_.getDouble(0))
+    val bLin = filled.map(_.getDouble(1))
+    assert(aLin.sameElements(Array(10.0, 20.0, 30.0, 40.0, 50.0)),
+      s"interior linear interpolation: ${aLin.toSeq}")
+    assert(bLin.sameElements(Array(7.0, 7.0, 7.0, 7.0, 7.0)),
+      s"leading back-fill + trailing LOCF: ${bLin.toSeq}")
+    assert(filled.map(_.getInt(2)).sameElements(Array(0, 1, 1, 0, 0)))
+  }
 }
