@@ -327,6 +327,16 @@ object SparkEntry {
           duckRound(f("spect_entropy", P.copy(psdMethod = "multitaper"))(
             slice(col("signal"), 1, 72)), 6).as("spect_entropy_mt72"))
         .orderBy("user_id")),
+    // adaptive (Thomson-weighted) multitaper: the iterative weighting is
+    // mirrored in the oracle as a recursive CTE (tools/oracles_r2.py
+    // mt_adaptive_oracle) — the last operator knob without a gate in r3
+    "q_spect_entropy_mt_adaptive" -> ((s, dir) =>
+      sig(s, dir).where(size(col("signal")) >= 64)
+        .select(col("user_id"),
+          duckRound(f("spect_entropy",
+            P.copy(psdMethod = "multitaper", mtAdaptive = true))(
+            slice(col("signal"), 1, 64)), 6).as("spect_entropy_mt_adaptive"))
+        .orderBy("user_id")),
 
     // ---- bivariate (cross-channel) ops: channels = a user's per-event_type
     //      series, truncated to the common min length -------------------

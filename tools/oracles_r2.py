@@ -1165,6 +1165,83 @@ SELECT user_id, round(v, 6) AS {outcol} FROM e ORDER BY user_id"""
     return {qname: sql}
 
 
+def mt_adaptive_oracle(n=64, outcol="spect_entropy_mt_adaptive",
+                       qname="q_spect_entropy_mt_adaptive"):
+    """Adaptive (Thomson-weighted) multitaper spectral entropy: same DPSS
+    literals + DFT eigenspectra as multitaper_oracle, then the iterative
+    adaptive weighting of core/Psd.scala (Percival & Walden eq. 370)
+    mirrored as a recursive CTE — element-wise list arithmetic per
+    iteration, per-user convergence at max rel change <= 1e-10, hard cap
+    150, matching the Scala loop's order of operations (an off-by-one
+    iteration near the fixed point moves the result ~1e-10 relative,
+    far below the round(,6) gate)."""
+    tapers, lams = dpss_numpy(n=n)
+    ntap = len(tapers)
+    rows = ", ".join(
+        f"({k}, [{', '.join(repr(x) for x in tp)}]::DOUBLE[], {lams[k]!r})"
+        for k, tp in enumerate(tapers))
+    half = n // 2
+    nb = half + 1  # number of one-sided bins
+    wgt = (f"pow(sold[i] / (lams[k] * sold[i] + (1 - lams[k]) * s2), 2)"
+           f" * lams[k]")
+    sql = f"""
+WITH RECURSIVE g AS (SELECT user_id, list(value ORDER BY ts, event_id) AS l0
+        FROM events GROUP BY user_id HAVING count(*) >= {n}),
+  m AS (SELECT user_id, l0[1:{n}] AS l FROM g),
+  tap(tk, tp, lam) AS (VALUES {rows}),
+  xt AS (SELECT user_id, tk, lam,
+           list_transform(range(1, {n + 1}), j -> l[j] * tp[j]) AS w
+         FROM m, tap),
+  spk AS (SELECT user_id, tk, lam,
+           list_transform(range(0, {nb}), k ->
+             pow(list_sum(list_transform(range(1, {n + 1}), j ->
+               w[j] * cos(2 * pi() * (j - 1) * k / {n}))), 2)
+           + pow(list_sum(list_transform(range(1, {n + 1}), j ->
+               w[j] * sin(2 * pi() * (j - 1) * k / {n}))), 2)) AS sk
+         FROM xt),
+  spg AS (SELECT user_id, list(sk ORDER BY tk) AS sks,
+                 list(lam ORDER BY tk) AS lams
+          FROM spk GROUP BY user_id),
+  v AS (SELECT user_id,
+          list_sum(list_transform(l, x -> (x - mu) * (x - mu))) / {n} AS s2
+        FROM (SELECT user_id, l, list_sum(l) / {n} AS mu FROM m)),
+  it AS (
+    SELECT spg.user_id, sks, lams, s2,
+      list_transform(range(1, {nb + 1}), i -> 0.5 * (sks[1][i] + sks[2][i])) AS s,
+      0 AS iter, false AS done
+    FROM spg JOIN v ON spg.user_id = v.user_id
+    UNION ALL
+    SELECT user_id, sks, lams, s2, snew AS s, iter + 1 AS iter,
+      list_max(list_transform(range(1, {nb + 1}), i ->
+        abs(snew[i] - sold[i]) / greatest(sold[i], 1e-300))) <= 1e-10 AS done
+    FROM (
+      SELECT user_id, sks, lams, s2, iter, s AS sold,
+        list_transform(range(1, {nb + 1}), i ->
+          CASE WHEN list_sum(list_transform(range(1, {ntap + 1}), k ->
+                 {wgt})) > 0
+               THEN list_sum(list_transform(range(1, {ntap + 1}), k ->
+                 {wgt} * sks[k][i]))
+                  / list_sum(list_transform(range(1, {ntap + 1}), k ->
+                 {wgt}))
+               ELSE s[i] END) AS snew
+      FROM it WHERE NOT done AND iter < 150
+    ) stp),
+  fin AS (SELECT user_id, s FROM it
+          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY iter DESC) = 1),
+  psd AS (SELECT user_id, fq.k AS k,
+            s[fq.k + 1] / 256.0
+              * (CASE WHEN fq.k = 0 OR fq.k = {half} THEN 1.0 ELSE 2.0 END) AS p
+          FROM fin, (SELECT unnest(range(0, {nb})) AS k) fq),
+  tot AS (SELECT user_id, sum(p) AS m0 FROM psd GROUP BY user_id),
+  e AS (SELECT psd.user_id,
+          -sum((p / m0) * (ln(p / m0) / ln(2.0)))
+            FILTER (WHERE k >= 1) AS v
+        FROM psd JOIN tot ON psd.user_id = tot.user_id
+        GROUP BY psd.user_id)
+SELECT user_id, round(v, 6) AS {outcol} FROM e ORDER BY user_id"""
+    return {qname: sql}
+
+
 # ---- multimodal batch-extract gate ------------------------------------------
 
 def multimodal_oracle():
@@ -1256,6 +1333,7 @@ def main(sfdir, outdir, only=None):
             **svd_oracles(), **multitaper_oracle(),
             **multitaper_oracle(n=72, outcol="spect_entropy_mt72",
                                 qname="q_spect_entropy_mt72"),
+            **mt_adaptive_oracle(),
             **multimodal_oracle()}
     for name, sql in allo.items():
         if only and name not in only:
@@ -1271,6 +1349,7 @@ def emit_scala(path):
             **svd_oracles(), **multitaper_oracle(),
             **multitaper_oracle(n=72, outcol="spect_entropy_mt72",
                                 qname="q_spect_entropy_mt72"),
+            **mt_adaptive_oracle(),
             **multimodal_oracle()}
     with open(path, "w") as f:
         f.write("package graft\n\n")
