@@ -171,4 +171,42 @@ class EngineApiSpec extends AnyFunSuite {
       assert(ra.getLong(6) == rb.getLong(6), s"$k n")
     }
   }
+
+  test("FeatureExtractor estimator lifecycle: fit schema probe, set_params " +
+    "re-route, memory caching (feature_extraction.py:304-444 protocol)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val fx = TokenGen.fixtures(spark).where(col("doc_id").startsWith("data1"))
+    val est = new FeatureExtractor(
+      selectedFuncs = Seq("mean", "quantile"),
+      base = FeatureParams(sfreq = 8.0, scale = scale))
+    // unfitted estimator refuses feature names, like sklearn
+    intercept[IllegalStateException](est.featureNamesOut)
+    est.fit(fx)
+    assert(est.featureNamesOut == Seq("mean__ch0", "quantile__ch0"))
+    val out1 = est.transform(fx)
+    assert(out1.columns.toSeq == "doc_id" +: est.featureNamesOut)
+    // set_params re-route (GridSearchCV contract): widths change with the
+    // routed quantile list, and the stale fit is invalidated
+    est.setParams(Map("quantile__q" -> "0.25,0.5,0.75"))
+    intercept[IllegalStateException](est.featureNamesOut)
+    val out2 = est.fitTransform(fx)
+    assert(est.featureNamesOut == Seq("mean__ch0", "quantile__ch0__0",
+      "quantile__ch0__1", "quantile__ch0__2"))
+    assert(out2.columns.length == 5)
+    // memory: second transform on the same input reads the cached parquet
+    val dir = java.nio.file.Files.createTempDirectory("fe_mem").toString
+    val cached = new FeatureExtractor(
+      selectedFuncs = Seq("mean", "variance"),
+      base = FeatureParams(sfreq = 8.0, scale = scale),
+      memory = Some(dir))
+    val a = cached.fitTransform(fx).collect()
+    val entries1 = new java.io.File(dir).listFiles().length
+    val b = cached.transform(fx).collect()
+    val entries2 = new java.io.File(dir).listFiles().length
+    assert(entries1 == 1 && entries2 == 1, "one cache entry, reused")
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    // a different input plan misses the cache instead of aliasing it
+    cached.transform(fx.limit(1)).collect()
+    assert(new java.io.File(dir).listFiles().length == 2)
+  }
 }
