@@ -66,7 +66,14 @@ object StreamingRollup {
     * groupBy (orderless) cannot do. State is O(rows-in-window) boundary
     * tuples, capped by `maxSegs` (hotter windows belong to the batch
     * cascade); windows evict on event-time timeout one watermark past the
-    * window end. */
+    * window end.
+    *
+    * Incremental state (r4): `segs` is kept SORTED as a state invariant —
+    * each trigger sorts only its own k arrivals and two-pointer-merges
+    * them into the state, O(k log k + m) instead of the r3 full re-sort's
+    * O(m log m) per trigger. The bridge walk stays the same sequential
+    * O(m) pass (it is the output computation anyway), so the emitted
+    * arithmetic — and the batch equivalence — is bit-identical. */
   def diffTier(stream: DataFrame, win: String, watermark: String,
                scale: Double, maxSegs: Int = 1 << 17): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -112,20 +119,26 @@ object StreamingRollup {
             var st = state.getOption.getOrElse(St(Vector.empty, 0L,
               0.0, 0.0, 0.0, 0.0, Double.PositiveInfinity,
               Double.NegativeInfinity, 0.0, 0.0, 0.0, 0L, 0L, 0L))
+            val freshB = Vector.newBuilder[Seg]
             it.foreach { r =>
-              st = St(
-                st.segs :+ Seg(r.ts, r.doc_id, r.f1, r.f2, r.l1, r.l2,
-                  r.fSgn, r.lSgn),
-                st.n + r.n, st.s1 + r.s1, st.s2 + r.s2, st.s3 + r.s3,
-                st.s4 + r.s4, math.min(st.mn, r.mn), math.max(st.mx, r.mx),
-                st.accAbsD + r.sumAbsD, st.accDSq + r.sumDSq,
-                st.accESq + r.sumESq, st.accZc + r.zc,
-                st.rowsIn + 1, st.tokensIn + r.rowTokens)
+              freshB += Seg(r.ts, r.doc_id, r.f1, r.f2, r.l1, r.l2,
+                r.fSgn, r.lSgn)
+              st = st.copy(
+                n = st.n + r.n, s1 = st.s1 + r.s1, s2 = st.s2 + r.s2,
+                s3 = st.s3 + r.s3, s4 = st.s4 + r.s4,
+                mn = math.min(st.mn, r.mn), mx = math.max(st.mx, r.mx),
+                accAbsD = st.accAbsD + r.sumAbsD,
+                accDSq = st.accDSq + r.sumDSq,
+                accESq = st.accESq + r.sumESq, accZc = st.accZc + r.zc,
+                rowsIn = st.rowsIn + 1, tokensIn = st.tokensIn + r.rowTokens)
             }
-            if (st.segs.size > maxSegs) throw new IllegalStateException(
-              s"diffTier window $key exceeds maxSegs=$maxSegs rows; " +
-                "route hot windows through the batch cascade")
-            val sorted = st.segs.sortBy(s => (s.ts, s.docId)).toVector
+            val fresh = freshB.result()
+            if (st.segs.size + fresh.size > maxSegs)
+              throw new IllegalStateException(
+                s"diffTier window $key exceeds maxSegs=$maxSegs rows; " +
+                  "route hot windows through the batch cascade")
+            // sort only this trigger's arrivals; merge into the sorted state
+            val sorted = mergeSorted(st.segs, fresh.sortBy(s => (s.ts, s.docId)))
             st = st.copy(segs = sorted)
             state.update(st)
             // evict one watermark past the window end (never behind the
@@ -157,6 +170,27 @@ object StreamingRollup {
           }
         })
       .toDF()
+  }
+
+  /** Two-pointer merge of sorted boundary-tuple runs (ties: existing
+    * first — both orders are stable under the strict (ts, docId) key,
+    * which is unique per row). O(m + k), allocation-exact. */
+  private[streaming] def mergeSorted(a: Vector[StreamingDiff.Seg],
+                                     b: Vector[StreamingDiff.Seg]): Vector[StreamingDiff.Seg] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out = Vector.newBuilder[StreamingDiff.Seg]
+    out.sizeHint(a.size + b.size)
+    var i = 0; var j = 0
+    while (i < a.size && j < b.size) {
+      val x = a(i); val y = b(j)
+      val cmp = if (x.ts != y.ts) java.lang.Long.compare(x.ts, y.ts)
+                else x.docId.compareTo(y.docId)
+      if (cmp <= 0) { out += x; i += 1 } else { out += y; j += 1 }
+    }
+    while (i < a.size) { out += a(i); i += 1 }
+    while (j < b.size) { out += b(j); j += 1 }
+    out.result()
   }
 
   /** Bounded-source synchronous run of the diff tier; emissions are
