@@ -357,7 +357,7 @@ object Bench {
 
       // ---- phase 3: leftover budget — first retry any headline level
       // still missing a clean pass (multiple rounds if needed), then
-      // supplementary wide-JVM evidence
+      // refine an implausible efficiency, then wide-JVM evidence
       var retry = 0
       while (retry < 3 && Seq(1, 4).exists(p =>
                !state.passes.exists(x => x._1 == p && x._5)) &&
@@ -372,6 +372,32 @@ object Bench {
               System.err.println(f"[bench] topup p=$p sec=$sec%.3f cpu=$cpu%.3f")
             }
         }
+      }
+      // eff refinement: best-of per level means extra samples only move
+      // the headline TOWARD truth — eff > 1.05 says the p=1 best is still
+      // interference-inflated (a 4-thread JVM cannot really beat 4x a
+      // 1-thread JVM), eff < 0.8 under a clean p=1 says p=4 drew a stormy
+      // window; re-sample the suspect side while the budget holds
+      def cleanBest(p: Int): Option[Double] = {
+        val c = state.passes.filter(x => x._1 == p && x._5).map(_._2)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      def headlineEff: Option[Double] =
+        for (s1 <- cleanBest(1); s4 <- cleanBest(4)) yield s1 / (4.0 * s4)
+      var refine = 0
+      while (refine < 3 &&
+             headlineEff.exists(e => e > 1.05 || e < 0.8) &&
+             remaining > 200) {
+        refine += 1
+        val p = if (headlineEff.exists(_ > 1.05)) 1 else 4
+        System.err.println(
+          f"[bench] refining p=$p (eff=${headlineEff.get}%.3f)")
+        timedChild(tokensPath, p, if (p == 1) 1 else 3,
+          math.min(remaining - 90, 300.0).toInt)
+          .foreach { case (sec, tok, cpu) =>
+            state.passes :+= ((p, sec, tok, cpu, cpu <= envelope))
+            System.err.println(f"[bench] refine p=$p sec=$sec%.3f cpu=$cpu%.3f")
+          }
       }
       for (p <- Seq(2, 8) if remaining > 150) {
         timedChild(tokensPath, p, 1, math.min(remaining - 60, 180.0).toInt)
