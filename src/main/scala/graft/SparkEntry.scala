@@ -471,8 +471,14 @@ object SparkEntry {
       AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 1, 50)
         .select(col("query_id"), col("nn_id"), col("cos_sim"))
         .orderBy("query_id")),
+    "q_ann_cosine_top3" -> ((s, dir) =>
+      AnnOps.bruteForceTopK(AnnOps.embeddings(s, dir), 3, 50)
+        .orderBy("query_id", "rk")),
     "q_ann_ivf_top1" -> ((s, dir) =>
       AnnOps.ivfTop1(AnnOps.embeddings(s, dir)).orderBy("query_id")),
+    "q_ann_ivf_top3" -> ((s, dir) =>
+      AnnOps.ivfTopK(AnnOps.embeddings(s, dir), 3)
+        .orderBy("query_id", "rk")),
     "q_embed_near_dup" -> ((s, dir) =>
       DedupOps.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
         .orderBy("id_a", "id_b"))
@@ -777,6 +783,41 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
            FROM sims)
          SELECT query_id, nn_id, round(sim, 5) AS cos_sim FROM ranked WHERE rk = 1
-         ORDER BY query_id"""
+         ORDER BY query_id""",
+    "q_ann_cosine_top3" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),
+         sims AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
+                  list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+           FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, nn_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
+           FROM sims)
+         SELECT query_id, nn_id, round(sim, 5) AS cos_sim, rk::INT AS rk
+         FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
+    "q_ann_ivf_top3" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                   WHERE vec_id % (SELECT greatest(count(*) // 16, 1) FROM e) = 0
+                   ORDER BY vec_id LIMIT 16),
+         asgn AS (SELECT vec_id, v, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS crk
+                  FROM e, cents),
+         corpus AS (SELECT vec_id AS nn_id, v AS nv, cid AS cell
+                    FROM asgn WHERE crk = 1),
+         queries AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+                     FROM asgn WHERE vec_id % 50 = 0 AND crk <= 4),
+         cand AS (SELECT q.query_id, c.nn_id,
+                    list_cosine_similarity(q.qv, c.nv) AS sim
+                  FROM queries q JOIN corpus c ON c.cell = q.cell
+                  WHERE c.nn_id <> q.query_id),
+         best AS (SELECT query_id, nn_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nn_id) AS rk
+                  FROM cand)
+         SELECT query_id, nn_id, round(sim, 5) AS cos_sim, rk::INT AS rk
+         FROM best WHERE rk <= 3 ORDER BY query_id, rk"""
   ) ++ OracleSql.sql // round-2 generated oracles (tools/oracles_r2.py)
 }
