@@ -175,8 +175,8 @@ object StreamingRollup {
   /** Two-pointer merge of sorted boundary-tuple runs (ties: existing
     * first — both orders are stable under the strict (ts, docId) key,
     * which is unique per row). O(m + k), allocation-exact. */
-  private[streaming] def mergeSorted(a: Vector[StreamingDiff.Seg],
-                                     b: Vector[StreamingDiff.Seg]): Vector[StreamingDiff.Seg] = {
+  private[graft] def mergeSorted(a: Vector[StreamingDiff.Seg],
+                                 b: Vector[StreamingDiff.Seg]): Vector[StreamingDiff.Seg] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
     val out = Vector.newBuilder[StreamingDiff.Seg]

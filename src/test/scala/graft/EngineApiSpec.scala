@@ -172,6 +172,20 @@ class EngineApiSpec extends AnyFunSuite {
     }
   }
 
+  test("StreamingRollup.mergeSorted: order-preserving two-pointer merge " +
+    "(ties keep existing-first, strict (ts, docId) key)") {
+    import graft.streaming.StreamingDiff.Seg
+    def seg(ts: Long, id: String) = Seg(ts, id, 0, 0, 0, 0, 0, 0)
+    val a = Vector(seg(1, "a"), seg(3, "b"), seg(3, "c"), seg(9, "z"))
+    val b = Vector(seg(0, "x"), seg(3, "bb"), seg(9, "y"), seg(12, "w"))
+    val m = graft.streaming.StreamingRollup.mergeSorted(a, b)
+    assert(m.map(s => (s.ts, s.docId)) == Vector(
+      (0L, "x"), (1L, "a"), (3L, "b"), (3L, "bb"), (3L, "c"),
+      (9L, "y"), (9L, "z"), (12L, "w")))
+    assert(graft.streaming.StreamingRollup.mergeSorted(Vector.empty, b) == b)
+    assert(graft.streaming.StreamingRollup.mergeSorted(a, Vector.empty) == a)
+  }
+
   test("FeatureExtractor estimator lifecycle: fit schema probe, set_params " +
     "re-route, memory caching (feature_extraction.py:304-444 protocol)") {
     spark.sparkContext.setLogLevel("ERROR")
