@@ -253,8 +253,15 @@ object Bench {
       val queryReserve = 420.0
       var round = 0
       var earlyExit = false
+      // below ~300 s a clean (p=1, p=4) pair is unreachable (the p=1
+      // child alone runs 90-270 s) — killing a child at the deadline
+      // yields NOTHING, so in that regime the whole budget goes to the
+      // query suite instead (partial query evidence beats zero evidence
+      // of both kinds; measured: a 150 s deadline shipped queries:{}
+      // before this guard)
+      if (remaining < 300) state.notes :+= "scaling_skipped_low_budget"
       def roundBudgetOk: Boolean =
-        if (round == 0) remaining > 100 else remaining > queryReserve + 150
+        if (round == 0) remaining > 300 else remaining > queryReserve + 150
       while (!earlyExit && round < 2 && roundBudgetOk) {
         round += 1
         for (p <- Seq(1, 4) if !earlyExit && remaining > 90) {
