@@ -359,6 +359,21 @@ object Bench {
         state.queryPasses = 2
         System.err.println(
           f"[bench] query pass 2 (light, ${light.size} queries) done at ${elapsed}%.1fs")
+        // the heavy structural gates (multi-job pipelines) are the most
+        // weather-exposed measurements in the suite — give them a
+        // min-of-2 as well when the budget clearly allows it
+        val heavySet = pass1.keySet -- light
+        val heavySec = pass1.filter(kv => heavySet.contains(kv._1)).values.sum
+        if (heavySet.nonEmpty && remaining > heavySec * 1.5 + 150) {
+          val pass3 = onePass(heavySet, recordLive = false)
+          state.synchronized {
+            state.queryTimes = state.queryTimes.map { case (k, v) =>
+              k -> math.min(v, pass3.getOrElse(k, v))
+            }
+          }
+          System.err.println(
+            f"[bench] heavy re-time (${heavySet.size} queries) done at ${elapsed}%.1fs")
+        }
       }
       spark.stop()
 
