@@ -331,6 +331,11 @@ object Bench {
         }
         acc
       }
+      // untimed warm-up: the first timed query otherwise pays the whole
+      // JIT + plan-infra cold start (measured 24 s vs 0.7 s warm on the
+      // ANN query) — one cheap query absorbs it
+      try forceEval(SparkEntry.queries("q_mean")(spark, sfDir))
+      catch { case _: Throwable => () }
       val passStart = elapsed
       val pass1 = onePass(Set.empty, recordLive = true)
       if (pass1.size == named.size) state.queryPasses = 1
