@@ -52,14 +52,21 @@ object Bench {
   private object state {
     val emitted = new AtomicBoolean(false)
     var sfDir = ""
-    // written by the query pass as each query finishes; read by the
-    // watchdog thread — volatile so a forced emit sees the latest map
+    // ALL fields are written by the main thread and read by the watchdog
+    // thread on a forced emit (notes is also written there) — volatile
+    // for publication, and appends go through the synchronized helpers
+    // so racing appends can't lose an element
     @volatile var queryTimes: Map[String, Double] = Map.empty
     @volatile var queryPasses = 0
     // (p, sec, tokens, cpu, clean)
-    var passes: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
-    var extras: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
-    var notes: Vector[String] = Vector.empty
+    @volatile var passes: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
+    @volatile var extras: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
+    @volatile var notes: Vector[String] = Vector.empty
+    def addPass(p: (Int, Double, Long, Double, Boolean)): Unit =
+      synchronized { passes :+= p }
+    def addExtra(p: (Int, Double, Long, Double, Boolean)): Unit =
+      synchronized { extras :+= p }
+    def addNote(n: String): Unit = synchronized { notes :+= n }
   }
 
   private val startNs = System.nanoTime()
@@ -224,7 +231,7 @@ object Bench {
     val watchdog = new Thread(() => {
       try Thread.sleep(((deadlineSec + 15) * 1000).toLong)
       catch { case _: InterruptedException => return }
-      state.notes :+= "watchdog_emit"
+      state.addNote("watchdog_emit")
       emit()
       Runtime.getRuntime.halt(0)
     })
@@ -242,7 +249,7 @@ object Bench {
         s.stop()
       }
       System.err.println(f"[bench] table ready at ${elapsed}%.1fs")
-      if (elapsed > deadlineSec * 0.25) state.notes :+= "tablegen_slow"
+      if (elapsed > deadlineSec * 0.25) state.addNote("tablegen_slow")
 
       // ---- phase 1: interleaved scaling, early-exit on clean pair -------
       // The scaling number carries the north rule's pass/fail, so round 1
@@ -259,7 +266,7 @@ object Bench {
       // query suite instead (partial query evidence beats zero evidence
       // of both kinds; measured: a 150 s deadline shipped queries:{}
       // before this guard)
-      if (remaining < 300) state.notes :+= "scaling_skipped_low_budget"
+      if (remaining < 300) state.addNote("scaling_skipped_low_budget")
       def roundBudgetOk: Boolean =
         if (round == 0) remaining > 300 else remaining > queryReserve + 150
       while (!earlyExit && round < 2 && roundBudgetOk) {
@@ -276,11 +283,11 @@ object Bench {
           timedChild(tokensPath, p, if (p == 1) 1 else 3, timeout) match {
             case Some((sec, tok, cpu)) =>
               val clean = cpu <= envelope
-              state.passes :+= ((p, sec, tok, cpu, clean))
+              state.addPass((p, sec, tok, cpu, clean))
               System.err.println(
                 f"[bench] pass round=$round p=$p sec=$sec%.3f cpu=$cpu%.3f clean=$clean")
             case None =>
-              state.notes :+= s"child_timeout_p${p}_round$round"
+              state.addNote(s"child_timeout_p${p}_round$round")
           }
         }
         val c1 = state.passes.filter(x => x._1 == 1 && x._5)
@@ -319,7 +326,7 @@ object Bench {
              if !truncated && (only.isEmpty || only.contains(name))) {
           if (remaining < 40) {
             truncated = true
-            state.notes :+= s"query_pass_truncated_before_$name"
+            state.addNote(s"query_pass_truncated_before_$name")
           } else {
             val t0 = System.nanoTime()
             try forceEval(fn(spark, sfDir))
@@ -353,7 +360,8 @@ object Bench {
       // pass 2 only when the scaling pair is already settled — scaling
       // retries (phase 3) outrank per-query-min polish
       if (pass1.size == named.size && light.nonEmpty &&
-          (earlyExit || state.passes.exists(x => x._1 == 1 && x._5)) &&
+          (earlyExit || Seq(1, 4).forall(p =>
+            state.passes.exists(x => x._1 == p && x._5))) &&
           remaining > lightSec * 1.5 + queryReserve / 2) {
         val pass2 = onePass(light, recordLive = false)
         state.synchronized {
@@ -395,7 +403,7 @@ object Bench {
           timedChild(tokensPath, p, if (p == 1) 1 else 3,
             math.min(remaining - 60, 300.0).toInt)
             .foreach { case (sec, tok, cpu) =>
-              state.passes :+= ((p, sec, tok, cpu, cpu <= envelope))
+              state.addPass((p, sec, tok, cpu, cpu <= envelope))
               System.err.println(f"[bench] topup p=$p sec=$sec%.3f cpu=$cpu%.3f")
             }
         }
@@ -422,20 +430,20 @@ object Bench {
         timedChild(tokensPath, p, if (p == 1) 1 else 3,
           math.min(remaining - 90, 300.0).toInt)
           .foreach { case (sec, tok, cpu) =>
-            state.passes :+= ((p, sec, tok, cpu, cpu <= envelope))
+            state.addPass((p, sec, tok, cpu, cpu <= envelope))
             System.err.println(f"[bench] refine p=$p sec=$sec%.3f cpu=$cpu%.3f")
           }
       }
       for (p <- Seq(2, 8) if remaining > 150) {
         timedChild(tokensPath, p, 1, math.min(remaining - 60, 180.0).toInt)
           .foreach { case (sec, tok, cpu) =>
-            state.extras :+= ((p, sec, tok, cpu, cpu <= envelope))
+            state.addExtra((p, sec, tok, cpu, cpu <= envelope))
             System.err.println(f"[bench] extra p=$p sec=$sec%.3f cpu=$cpu%.3f")
           }
       }
     } catch {
       case e: Throwable =>
-        state.notes :+= ("error_" + e.getClass.getSimpleName)
+        state.addNote("error_" + e.getClass.getSimpleName)
         System.err.println(s"[bench] aborted: $e")
     }
     watchdog.interrupt()

@@ -75,10 +75,16 @@ final class FeatureExtractor(
       case Some(dir) =>
         // joblib.Memory analogue: key on the estimator config + the
         // CANONICALIZED input plan (what the reference gets by hashing
-        // the ndarray: same logical input => same key; no data pass)
+        // the ndarray: same logical input => same key; no data pass).
+        // toJSON, not toString: plan toString truncates field lists at
+        // spark.sql.debug.maxToStringFields, which could collide two
+        // different wide inputs onto one cache key
+        val planKey = {
+          val p = df.queryExecution.logical.canonicalized
+          try p.toJSON catch { case _: Throwable => p.treeString }
+        }
         val cfg = (selectedFuncs, routedParams.toSeq.sorted, channels, keep,
-          base.toString, userFuncs.map(_._1),
-          df.queryExecution.logical.canonicalized.toString).toString
+          base.toString, userFuncs.map(_._1), planKey).toString
         val key = java.security.MessageDigest.getInstance("MD5")
           .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val path = s"$dir/$key"

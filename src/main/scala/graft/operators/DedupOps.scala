@@ -170,7 +170,9 @@ object DedupOps {
     // localCheckpoint (not persist): the shortcut step references the
     // round's frame TWICE, so carrying lineage across rounds would grow
     // the logical plan exponentially — checkpointing pins each round to
-    // its materialized 16-byte rows and keeps the plan O(1) per round
+    // its materialized 16-byte rows and keeps the plan O(1) per round.
+    // Superseded checkpoints are freed eagerly (freeLocalCheckpoint)
+    // instead of waiting on driver GC + ContextCleaner.
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
@@ -183,9 +185,13 @@ object DedupOps {
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")),
           "doc_b")
         .groupBy(col("doc_a").as("doc_id")).agg(min(col("nl")).as("minNbr"))
+      // checkpoint before the self-join: both sides of the shortcut read
+      // this frame, so without it the hook join + groupBy would execute
+      // twice per round
       val hooked = labels.join(nbrMin, Seq("doc_id"))
         .select(col("doc_id"),
           least(col("label"), col("minNbr")).as("label"))
+        .localCheckpoint(true)
       // shortcut (pointer doubling): label <- label(label); left join
       // for safety though every label is itself a node id
       val next = hooked
@@ -196,16 +202,31 @@ object DedupOps {
       val changed = next.as("n")
         .join(labels.as("o"), Seq("doc_id"))
         .where(col("n.label") =!= col("o.label")).count()
+      freeLocalCheckpoint(hooked)
+      freeLocalCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(blocking = false)
-    if (!converged) throw new IllegalStateException(
-      s"clustersFromPairs: label propagation not converged after $maxIters rounds")
+    if (!converged) {
+      freeLocalCheckpoint(labels)
+      throw new IllegalStateException(
+        s"clustersFromPairs: label propagation not converged after $maxIters rounds")
+    }
     (labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("keep")), iter)
   }
+
+  /** Release a localCheckpoint'ed frame's materialized blocks eagerly —
+    * Dataset.unpersist only touches the cache manager, not the checkpoint
+    * RDD, which otherwise lives until driver GC + ContextCleaner. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** 64-bit SimHash over word hashes: bit b of the signature = sign of the
     * vote sum over tokens' bit b. Computed per row with array expressions —
