@@ -89,11 +89,37 @@ object FeatureEngine {
       case _ => Seq(s"${alias}__$ch")
     }
 
-  private def validate(selected: Seq[String]): Unit = {
+  /** Param suffixes resolveParams understands — one entry per `p(...)`
+    * probe above. */
+  private val KnownParamSuffixes: Set[String] = Set(
+    "q", "kmax", "emb", "tau", "threshold", "freq_bands", "edge",
+    "normalize", "ratios", "ratios_triu", "psd_method", "log", "fmin",
+    "fmax", "ref_freq", "deriv_filt", "welch_n_fft", "welch_n_per_seg",
+    "welch_n_overlap", "epoch_len", "mt_bandwidth", "mt_low_bias",
+    "mt_adaptive")
+
+  private def validate(selected: Seq[String],
+                       funcsParams: Map[String, String] = Map(),
+                       userFuncs: Seq[(String, Column => Column)] = Nil): Unit = {
     val known = graft.functions.FeatureCatalog.all.keySet
     val bad = selected.filterNot(known.contains)
     require(bad.isEmpty,
       s"unknown feature alias(es): ${bad.mkString(", ")} — valid: ${known.toSeq.sorted.mkString(", ")}")
+    // the reference raises when a user-defined feature name shadows a
+    // built-in alias (feature_extraction.py:277-292)
+    val shadowed = userFuncs.map(_._1).filter(known.contains)
+    require(shadowed.isEmpty,
+      s"user-defined feature name(s) collide with built-in aliases: ${shadowed.mkString(", ")}")
+    // funcs_params routing errors loudly on malformed/unknown keys (the
+    // reference's sklearn set_params contract): a typo'd key would
+    // otherwise be silently ignored
+    funcsParams.keys.foreach { k =>
+      val i = k.indexOf("__")
+      require(i > 0 && known.contains(k.substring(0, i)) &&
+        KnownParamSuffixes.contains(k.substring(i + 2)),
+        s"malformed or unknown funcs_params key '$k' — expected <alias>__<param> " +
+          s"with a catalog alias and a known param suffix")
+    }
   }
 
   private def aliasCols(alias: String, tokensCol: String, chName: String,
@@ -113,7 +139,7 @@ object FeatureEngine {
               chName: String = "ch0",
               keep: Seq[String] = Seq("doc_id"),
               userFuncs: Seq[(String, Column => Column)] = Nil): DataFrame = {
-    validate(selected)
+    validate(selected, funcsParams, userFuncs)
     val cols = selected.flatMap(aliasCols(_, tokensCol, chName, base, funcsParams)) ++
       userFuncs.map { case (nm, fn) => fn(col(tokensCol)).as(s"${nm}__$chName") }
     df.select((keep.map(col) ++ cols): _*)
@@ -133,7 +159,7 @@ object FeatureEngine {
                    base: FeatureParams = FeatureParams(),
                    keep: Seq[String] = Seq("doc_id"),
                    userFuncs: Seq[(String, Column => Column)] = Nil): DataFrame = {
-    validate(selected)
+    validate(selected, funcsParams, userFuncs)
     require(channels.nonEmpty, "at least one channel required")
     require(channels.map(_._2).distinct.size == channels.size,
       s"channel names must be distinct: ${channels.map(_._2).mkString(", ")}")

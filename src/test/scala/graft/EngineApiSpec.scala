@@ -44,6 +44,20 @@ class EngineApiSpec extends AnyFunSuite {
       FeatureEngine.extract(fx, "tokens", Seq("not_a_feature"))
     }
     assert(err.getMessage.contains("not_a_feature"))
+    // a user-defined name shadowing a built-in alias -> error
+    // (feature_extraction.py:277-292)
+    val shadow = intercept[IllegalArgumentException] {
+      FeatureEngine.extract(fx, "tokens", Seq("mean"),
+        userFuncs = Seq("kurtosis" -> (c => size(c).cast("double"))))
+    }
+    assert(shadow.getMessage.contains("kurtosis"))
+    // a malformed / typo'd funcs_params key -> error (sklearn set_params
+    // contract), instead of silently ignoring the routed param
+    val typo = intercept[IllegalArgumentException] {
+      FeatureEngine.extract(fx, "tokens", Seq("quantile"),
+        funcsParams = Map("quantile__qq" -> "0.5"))
+    }
+    assert(typo.getMessage.contains("quantile__qq"))
 
     // user-defined feature function
     val udfOut = FeatureEngine.extract(fx, "tokens", Seq("mean"),
