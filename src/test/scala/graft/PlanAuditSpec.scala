@@ -62,6 +62,20 @@ class PlanAuditSpec extends AnyFunSuite {
       .contains("first(va"), "vectors must not ride the pair shuffle")
   }
 
+  test("linear gap-fill: one Window serves both directional scans, " +
+    "grid joins by broadcast, bounded hash exchanges") {
+    val p = plan("q_gapfill_linear_1h")
+    val windowNodes = "\\bWindow \\[".r.findAllMatchIn(p).size
+    assert(windowNodes == 1,
+      s"forward+backward gap-fill scans must share ONE Window (same " +
+        s"partitioning + ordering), got $windowNodes:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "the sparse rollup joins onto the dense grid by broadcast")
+    val hashExchanges = "hashpartitioning\\(".r.findAllMatchIn(p).size
+    assert(hashExchanges <= 3,
+      s"gap-fill plan hash-shuffled $hashExchanges times:\n$p")
+  }
+
   test("tier rollup: single exchange shared by bridge window and groupBy") {
     val p = plan("q_tier_1h")
     // one shuffle for the (source, window) clustering; AQE may add a
