@@ -98,6 +98,34 @@ object FeatureEngine {
     "welch_n_overlap", "epoch_len", "mt_bandwidth", "mt_low_bias",
     "mt_adaptive")
 
+  private val PsdSuffixes: Set[String] = Set("psd_method", "welch_n_fft",
+    "welch_n_per_seg", "welch_n_overlap", "mt_bandwidth", "mt_low_bias",
+    "mt_adaptive")
+
+  /** Which suffixes each alias actually CONSUMES (mirrors the reference
+    * feature functions' signatures) — routing a valid suffix to a feature
+    * that never reads it is the silent-no-op the sklearn `set_params`
+    * contract rejects (e.g. `mean__q`). Aliases not listed here take no
+    * optional params. */
+  private val AliasParamSuffixes: Map[String, Set[String]] = Map(
+    "quantile" -> Set("q"),
+    "higuchi_fd" -> Set("kmax"),
+    "app_entropy" -> Set("emb"),
+    "samp_entropy" -> Set("emb"),
+    "svd_entropy" -> Set("tau", "emb"),
+    "svd_fisher_info" -> Set("tau", "emb"),
+    "zero_crossings" -> Set("threshold"),
+    "pow_freq_bands" -> (Set("freq_bands", "normalize", "ratios",
+      "ratios_triu", "log") ++ PsdSuffixes),
+    "spect_edge_freq" -> (Set("ref_freq", "edge") ++ PsdSuffixes),
+    "spect_entropy" -> PsdSuffixes,
+    "spect_slope" -> (Set("fmin", "fmax") ++ PsdSuffixes),
+    "hjorth_mobility_spect" -> (Set("normalize") ++ PsdSuffixes),
+    "hjorth_complexity_spect" -> (Set("normalize") ++ PsdSuffixes),
+    "energy_freq_bands" -> Set("freq_bands", "deriv_filt"),
+    "wavelet_coef_energy" -> Set("epoch_len"),
+    "teager_kaiser_energy" -> Set("epoch_len"))
+
   private def validate(selected: Seq[String],
                        funcsParams: Map[String, String] = Map(),
                        userFuncs: Seq[(String, Column => Column)] = Nil): Unit = {
@@ -110,15 +138,20 @@ object FeatureEngine {
     val shadowed = userFuncs.map(_._1).filter(known.contains)
     require(shadowed.isEmpty,
       s"user-defined feature name(s) collide with built-in aliases: ${shadowed.mkString(", ")}")
-    // funcs_params routing errors loudly on malformed/unknown keys (the
-    // reference's sklearn set_params contract): a typo'd key would
-    // otherwise be silently ignored
+    // funcs_params routing errors loudly on malformed/unknown keys AND on
+    // valid suffixes routed to a feature that never reads them (the
+    // reference's sklearn set_params contract): both would otherwise be
+    // silently ignored
     funcsParams.keys.foreach { k =>
       val i = k.indexOf("__")
       require(i > 0 && known.contains(k.substring(0, i)) &&
         KnownParamSuffixes.contains(k.substring(i + 2)),
         s"malformed or unknown funcs_params key '$k' — expected <alias>__<param> " +
           s"with a catalog alias and a known param suffix")
+      val (alias, suffix) = (k.substring(0, i), k.substring(i + 2))
+      require(AliasParamSuffixes.getOrElse(alias, Set.empty).contains(suffix),
+        s"funcs_params key '$k' routes param '$suffix' to '$alias', which " +
+          s"does not take it — accepted: ${AliasParamSuffixes.getOrElse(alias, Set.empty).toSeq.sorted.mkString(", ")}")
     }
   }
 

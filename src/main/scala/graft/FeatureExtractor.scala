@@ -67,32 +67,39 @@ final class FeatureExtractor(
   def featureNamesOut: Seq[String] = fittedNames.getOrElse(
     throw new IllegalStateException("FeatureExtractor is not fitted"))
 
-  /** Extract features for every row of X; cached when `memory` is set. */
+  /** Extract features for every row of X; cached when `memory` is set.
+    * Like the reference's `transform` (feature_extraction.py:421-433),
+    * this does not require a prior `fit` — only `featureNamesOut` does. */
   def transform(df: DataFrame): DataFrame = {
     val out = plan(df)
     memory match {
       case None => out
       case Some(dir) =>
-        // joblib.Memory analogue: key on the estimator config + the
-        // CANONICALIZED input plan (what the reference gets by hashing
-        // the ndarray: same logical input => same key; no data pass).
-        // toJSON, not toString: plan toString truncates field lists at
-        // spark.sql.debug.maxToStringFields, which could collide two
-        // different wide inputs onto one cache key
+        // joblib.Memory analogue: key on the CANONICALIZED OUTPUT plan
+        // (what the reference gets by hashing extract_features' args:
+        // same logical input AND same extraction config => same key; no
+        // data pass). The output plan embeds the input plan, the routed
+        // params, and the user-defined funcs' actual column expressions —
+        // keying on input + func NAMES alone let two different lambdas
+        // under one name collide. toJSON, not toString: plan toString
+        // truncates field lists at spark.sql.debug.maxToStringFields.
         val planKey = {
-          val p = df.queryExecution.logical.canonicalized
+          val p = out.queryExecution.logical.canonicalized
           try p.toJSON catch { case _: Throwable => p.treeString }
         }
         val cfg = (selectedFuncs, routedParams.toSeq.sorted, channels, keep,
-          base.toString, userFuncs.map(_._1), planKey).toString
+          base.toString, planKey).toString
         val key = java.security.MessageDigest.getInstance("MD5")
           .digest(cfg.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val path = s"$dir/$key"
         val spark = df.sparkSession
-        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
-          out.write.mode("overwrite").parquet(path)
+        // hit-check through the Hadoop FS layer, not java.io.File — the
+        // memory dir may be on any filesystem Spark can write to
+        val success = new org.apache.hadoop.fs.Path(s"$dir/$key", "_SUCCESS")
+        val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(success)) {
+          out.write.mode("overwrite").parquet(s"$dir/$key")
         }
-        spark.read.parquet(path)
+        spark.read.parquet(s"$dir/$key")
     }
   }
 

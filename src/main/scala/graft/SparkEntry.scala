@@ -671,6 +671,7 @@ object SparkEntry {
          SELECT event_type, t AS bucket_s,
            round(CASE WHEN mean IS NOT NULL THEN mean
                  WHEN nv IS NULL THEN pv
+                 WHEN pv IS NULL THEN nv
                  ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6) AS mean_lin,
            CASE WHEN mean IS NULL THEN 1 ELSE 0 END AS filled
          FROM w ORDER BY 1, 2""",
@@ -781,7 +782,7 @@ object SparkEntry {
          ranked AS (
            SELECT query_id, nn_id, sim,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
-           FROM sims)
+           FROM sims WHERE NOT isnan(sim))
          SELECT query_id, nn_id, round(sim, 5) AS cos_sim FROM ranked WHERE rk = 1
          ORDER BY query_id""",
     "q_ann_cosine_top3" ->
@@ -793,7 +794,7 @@ object SparkEntry {
          ranked AS (
            SELECT query_id, nn_id, sim,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
-           FROM sims)
+           FROM sims WHERE NOT isnan(sim))
          SELECT query_id, nn_id, round(sim, 5) AS cos_sim, rk::INT AS rk
          FROM ranked WHERE rk <= 3 ORDER BY query_id, rk""",
     "q_ann_ivf_top3" ->
@@ -816,7 +817,7 @@ object SparkEntry {
          best AS (SELECT query_id, nn_id, sim,
                     row_number() OVER (PARTITION BY query_id
                       ORDER BY sim DESC, nn_id) AS rk
-                  FROM cand)
+                  FROM cand WHERE NOT isnan(sim))
          SELECT query_id, nn_id, round(sim, 5) AS cos_sim, rk::INT AS rk
          FROM best WHERE rk <= 3 ORDER BY query_id, rk"""
   ) ++ OracleSql.sql // round-2 generated oracles (tools/oracles_r2.py)

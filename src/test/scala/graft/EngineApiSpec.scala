@@ -58,6 +58,13 @@ class EngineApiSpec extends AnyFunSuite {
         funcsParams = Map("quantile__qq" -> "0.5"))
     }
     assert(typo.getMessage.contains("quantile__qq"))
+    // a valid suffix routed to a feature that never reads it -> error
+    // (the silent-no-op case: mean takes no q param)
+    val wrongAlias = intercept[IllegalArgumentException] {
+      FeatureEngine.extract(fx, "tokens", Seq("mean"),
+        funcsParams = Map("mean__q" -> "0.9"))
+    }
+    assert(wrongAlias.getMessage.contains("mean__q"))
 
     // user-defined feature function
     val udfOut = FeatureEngine.extract(fx, "tokens", Seq("mean"),

@@ -684,7 +684,7 @@ cand AS (SELECT q.query_id, c.nn_id,
 best AS (SELECT query_id, nn_id, sim,
            row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, nn_id) AS rk
-         FROM cand)
+         FROM cand WHERE NOT isnan(sim))
 SELECT query_id, nn_id, round(sim, 5) AS cos_sim FROM best WHERE rk = 1
 ORDER BY query_id"""
     return o
