@@ -34,8 +34,13 @@ object RollupJob {
 
   final case class TierResult(tier: String, newDays: Seq[Long], points: Long)
 
+  // UTC-day truncation from the epoch directly — NOT date_trunc('day'),
+  // which follows spark.sql.session.timeZone: a non-UTC caller would get
+  // day buckets misaligned with window('1 day')'s UTC-epoch alignment,
+  // committing day D's data under bucket D-1 and breaking resume. run()
+  // is the public API; only main() and the tests pin the session to UTC.
   private def dayOf(c: org.apache.spark.sql.Column) =
-    unix_timestamp(date_trunc("day", c))
+    floor(unix_timestamp(c) / 86400L).cast("long") * 86400L
 
   /** Run (or resume) the full cascade. */
   def run(spark: SparkSession, tokens: DataFrame, conf: Conf): Seq[TierResult] = {
@@ -43,9 +48,18 @@ object RollupJob {
     val allDays = tokens.select(dayOf(col("event_time")).as("d"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
 
-    lazy val states = TokenRollup.rowStates(tokens, conf.scale)
-      .withColumn("day", dayOf(col("event_time")))
-      .persist()
+    // every persist() this run makes is released before returning —
+    // repeated run() calls on one session (the resume pattern) otherwise
+    // accumulate dead cached blocks for the session's lifetime
+    val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var statesRef: Option[DataFrame] = None
+    def states: DataFrame = statesRef.getOrElse {
+      val s = TokenRollup.rowStates(tokens, conf.scale)
+        .withColumn("day", dayOf(col("event_time")))
+        .persist()
+      statesRef = Some(s)
+      s
+    }
 
     val results = scala.collection.mutable.ArrayBuffer.empty[TierResult]
     // bucket-states of the previous (finer) tier covering ALL days
@@ -70,7 +84,9 @@ object RollupJob {
               states.where(col("day").isin(pending: _*)),
               win, Seq("event_time", "doc_id"))
         }
-        src.persist()
+        val p = src.persist()
+        cachedFrames += p
+        p
       }
 
       fresh.foreach { bucketStates =>
@@ -115,6 +131,9 @@ object RollupJob {
         case (a, b) => a.orElse(b)
       }
     }
+    // all commits are on disk; nothing lazy escapes this method
+    cachedFrames.foreach(_.unpersist(blocking = false))
+    statesRef.foreach(_.unpersist(blocking = false))
     results.toSeq
   }
 

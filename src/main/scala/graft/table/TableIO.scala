@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   *   root/meta/snapshots.jsonl     one JSON object per committed snapshot
   *   root/meta/lineage.jsonl       per-(snapshot, bucket) lineage rows
   *
-  * Commit protocol: write parquet to `<dir>.tmp`, fsync-rename to final
-  * dir, then append the snapshot line. A crash before the manifest append
-  * leaves an orphan directory that no reader ever sees (reads resolve
-  * strictly through the manifest) — re-running the bucket is idempotent.
-  * Resume = input buckets minus `doneBuckets` (the manifest
+  * Commit protocol: write parquet to `<dir>.tmp`, atomic-rename to the
+  * final dir, then append the snapshot line (newline-sealed + fsynced —
+  * the manifest append IS the commit point). A crash before the manifest
+  * append leaves an orphan directory that no reader ever sees (reads
+  * resolve strictly through the manifest); the retry reclaims the orphan
+  * and re-runs the bucket idempotently. A torn manifest tail (crash
+  * mid-append) is skipped on read and sealed on the next append. Commits
+  * across processes serialize on a file lock (snapshot ids are allocated
+  * under it). Resume = input buckets minus `doneBuckets` (the manifest
   * high-water-mark); last-commit-wins on bucket collisions.
   */
 final class TableIO(val root: String) {
@@ -53,7 +57,15 @@ final class TableIO(val root: String) {
     if (!Files.exists(snapshotsFile)) return Nil
     val lines = Files.readAllLines(snapshotsFile, StandardCharsets.UTF_8)
     import scala.jdk.CollectionConverters._
-    lines.asScala.toSeq.filter(_.nonEmpty).map(parseSnapshot)
+    // Torn-write tolerance: a crash mid-append can leave a truncated
+    // line. A complete manifest line always ends with '}' — a line that
+    // doesn't is a torn tail and is skipped (its commit never became
+    // visible; the orphan data dir is reclaimed on the next commit). A
+    // '}'-terminated line that still fails to parse is real corruption
+    // and fails loudly.
+    lines.asScala.toSeq.filter(_.nonEmpty).flatMap { l =>
+      if (!l.endsWith("}")) None else Some(parseSnapshot(l))
+    }
   }
 
   // minimal JSON parsing for our own fixed-shape lines (no external deps).
@@ -97,6 +109,43 @@ final class TableIO(val root: String) {
   def doneBuckets(tier: String): Set[Long] =
     snapshots().filter(_.tier == tier).flatMap(_.buckets).toSet
 
+  /** Append `payload` starting on a fresh line and fsync — the manifest
+    * is the commit point, so a "committed" snapshot must survive power
+    * loss, and a previously torn tail must not concatenate with the new
+    * line (the '\n' seal turns the torn fragment into a skippable
+    * non-'}'-terminated line). */
+  private def appendDurable(file: Path, payload: String): Unit = {
+    val ch = java.nio.channels.FileChannel.open(file,
+      StandardOpenOption.CREATE, StandardOpenOption.READ,
+      StandardOpenOption.WRITE)
+    try {
+      var pos = ch.size()
+      if (pos > 0) {
+        val last = java.nio.ByteBuffer.allocate(1)
+        ch.read(last, pos - 1)
+        if (last.get(0) != '\n'.toByte) {
+          ch.write(java.nio.ByteBuffer.wrap(Array('\n'.toByte)), pos)
+          pos += 1
+        }
+      }
+      ch.write(java.nio.ByteBuffer.wrap(
+        payload.getBytes(StandardCharsets.UTF_8)), pos)
+      ch.force(true)
+    } finally ch.close()
+  }
+
+  /** Run `body` holding the table's cross-process commit lock — two
+    * writers on one root otherwise allocate colliding snapshot ids (the
+    * instance-level `synchronized` only covers one JVM). */
+  private def withCommitLock[T](body: => T): T = {
+    val ch = java.nio.channels.FileChannel.open(metaDir.resolve("commit.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
   /** Atomically commit a tier DataFrame covering `buckets`. */
   def commit(tier: String, df: DataFrame, buckets: Seq[Long], jobId: String,
              partitionBy: Seq[String] = Seq("source")): Snapshot = synchronized {
@@ -108,6 +157,7 @@ final class TableIO(val root: String) {
     require(df.columns.contains("commit_bucket"),
       s"commit('$tier'): DataFrame must carry a commit_bucket column")
     Files.createDirectories(metaDir)
+    withCommitLock {
     val id = snapshots().map(_.id).maxOption.getOrElse(0L) + 1
     // A bucket can legitimately finalize to zero rows (every input row
     // below the state minimum): record it in the manifest (it IS done —
@@ -135,6 +185,11 @@ final class TableIO(val root: String) {
       deleteRec(tmpDir)
       ""
     } else {
+      // a crash between this rename and the manifest append leaves an
+      // orphan snap-<id> dir that no reader ever sees; the retry
+      // recomputes the same id, so reclaim the orphan instead of letting
+      // ATOMIC_MOVE fail on the non-empty target forever
+      if (Files.exists(finalDir)) deleteRec(finalDir)
       Files.move(tmpDir, finalDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       snapRel
     }
@@ -143,9 +198,9 @@ final class TableIO(val root: String) {
     val json = s"""{"id":${snap.id},"tier":"${esc(tier)}","dir":"${esc(relDir)}",""" +
       s""""buckets":[${buckets.mkString(",")}],"rows":$rows,""" +
       s""""jobId":"${esc(jobId)}","committedAt":${snap.committedAt}}""" + "\n"
-    Files.writeString(snapshotsFile, json, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendDurable(snapshotsFile, json)
     snap
+    }
   }
 
   /** Read a tier through the manifest: union of committed snapshot dirs,
@@ -159,8 +214,11 @@ final class TableIO(val root: String) {
     val dfs = snaps.filter(_.dir.nonEmpty).map { s =>
       val keep = s.buckets.filter(b => winner(b) == s.id)
       val df = spark.read.parquet(Paths.get(root, s.dir).toString)
-      if (keep.size == s.buckets.size) df
-      else df.where(col("commit_bucket").isin(keep: _*))
+      // ALWAYS filter to the declared winning buckets — skipping the
+      // filter when keep == declared let rows whose commit_bucket was
+      // never declared leak past last-commit-wins (commit() does not
+      // validate the data's buckets against the declared list)
+      df.where(col("commit_bucket").isin(keep: _*))
     }
     if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
   }
@@ -199,8 +257,7 @@ final class TableIO(val root: String) {
         s""""bucket":$bucket,"rowsOut":$rowsOut,"tokensIn":$tokensIn,""" +
         s""""checksum":"${esc(checksum)}"}""" + "\n")
     }
-    Files.writeString(lineageFile, sb.toString, StandardCharsets.UTF_8,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    appendDurable(lineageFile, sb.toString)
   }
 
   def lineageLines(): Seq[String] = synchronized {

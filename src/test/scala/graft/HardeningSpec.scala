@@ -68,6 +68,46 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("TableIO crash recovery: orphan snap dir reclaimed, torn manifest " +
+    "tail skipped and sealed, undeclared commit_bucket filtered on read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    val io = new TableIO(root)
+    val df1 = Seq((1L, "a", 1.0)).toDF("commit_bucket", "source", "v")
+    io.commit("t", df1, Seq(1L), jobId = "j")
+    // crash simulation 1: a snap dir renamed into place whose manifest
+    // line never landed — the next commit must reclaim it, not wedge on
+    // the non-empty ATOMIC_MOVE target forever
+    val orphan = java.nio.file.Paths.get(root, "data/t/snap-2")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk"), "x")
+    // crash simulation 2: a torn (truncated, no trailing '}') manifest
+    // line — snapshots() must skip it, and the next append must seal it
+    // onto its own line instead of concatenating
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "meta/snapshots.jsonl"),
+      """{"id":2,"tier":"t","dir":"data/t/sn""",
+      java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(io.snapshots().size == 1, "torn tail skipped")
+    val df2 = Seq((2L, "a", 2.0)).toDF("commit_bucket", "source", "v")
+    io.commit("t", df2, Seq(2L), jobId = "j")
+    assert(io.snapshots().map(_.id) == Seq(1L, 2L))
+    assert(io.doneBuckets("t") == Set(1L, 2L))
+    val back = io.read(spark, "t").get.select("commit_bucket", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((1L, 1.0), (2L, 2.0)))
+    // undeclared commit_bucket rows never leak past last-commit-wins:
+    // snap declares bucket 3 but its data also carries bucket 2 rows
+    val df3 = Seq((3L, "a", 3.0), (2L, "a", 99.0))
+      .toDF("commit_bucket", "source", "v")
+    io.commit("t", df3, Seq(3L), jobId = "j")
+    val back2 = io.read(spark, "t").get.select("commit_bucket", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back2 == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      s"undeclared bucket rows leaked: $back2")
+  }
+
   test("RollupJob resume closes the features-committed/chunks-missing gap") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_gap").toString
