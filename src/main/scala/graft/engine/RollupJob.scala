@@ -26,8 +26,7 @@ object RollupJob {
   final case class Conf(
       tableRoot: String,
       scale: Double = 1.0 / (1 << 24),
-      tiers: Seq[(String, String)] = Seq("1m" -> "1 minute", "1h" -> "1 hour",
-        "1d" -> "1 day"),
+      tiers: Seq[(String, String)] = Rollup.Tiers,
       chunkFeatures: Seq[String] = Seq("mean", "variance", "line_length",
         "hjorth_mobility", "hjorth_complexity"),
       jobId: String = "rollup")

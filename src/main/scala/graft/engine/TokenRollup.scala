@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,7 +84,12 @@ object TokenRollup {
         (sum("P.zc") + sum("bZc")).as("zc"),
         min_by(col("P.fSgn"), col("ordKey")).as("fSgn"),
         max_by(col("P.lSgn"), col("ordKey")).as("lSgn"),
-        count(lit(1)).as("rows_in"),
+        // cascaded inputs carry how many SOURCE rows each unit already
+        // represents (row_rows) — summing it keeps rows_in meaning "raw
+        // rows in this bucket" at every tier instead of silently becoming
+        // "finer buckets merged" above the finest level
+        (if (units.columns.contains("row_rows")) sum(col("row_rows"))
+         else count(lit(1))).as("rows_in"),
         sum(coalesce(col("row_tokens"), col("P.n"))).as("tokens_in"))
       .withColumn("bucket", col("w.start")).drop("w")
     agg.withColumn("P", struct(StateFields.map(col): _*))
@@ -96,7 +101,8 @@ object TokenRollup {
   def cascade(bucketStates: DataFrame, win: String): DataFrame =
     mergeToBuckets(
       bucketStates.select(col("source"), col("bucket").as("event_time"),
-        col("P"), col("tokens_in").as("row_tokens")),
+        col("P"), col("tokens_in").as("row_tokens"),
+        col("rows_in").as("row_rows")),
       win, Seq("event_time"))
 
   /** Finalize a bucket-state into the algebraic feature columns —
@@ -161,7 +167,9 @@ object TokenRollup {
         sum(size(col("tokens")).cast("long")).as("total_tokens"))
       .select(col("source"), col("w.start").as("bucket"),
         slice(flatten(col("rows.tokens")), 1, maxTokens).as("sig"),
-        (col("total_tokens") > maxTokens).as("truncated"))
+        // coalesce: a window whose rows ALL have null token arrays sums
+        // to null — that window is untruncated, not unknown
+        coalesce(col("total_tokens") > maxTokens, lit(false)).as("truncated"))
     features.foldLeft(grouped) { (df, name) =>
       df.withColumn(name, feature(name, col("sig"), params))
     }.drop("sig")

@@ -41,9 +41,11 @@ class RollupEngineSpec extends AnyFunSuite {
 
     val feats = Seq("mean", "variance", "line_length", "hjorth_mobility",
       "hjorth_complexity", "skewness", "kurtosis", "zero_crossings")
-    val a = h1viaCascade.select((Seq("source", "bucket") ++ feats).map(col): _*)
+    val a = h1viaCascade.select((Seq("source", "bucket") ++ feats).map(col) :+
+        col("rows_in"): _*)
       .collect().map(r => (r.getString(0), r.get(1).toString) -> r).toMap
-    val b = h1direct.select((Seq("source", "bucket") ++ feats).map(col): _*)
+    val b = h1direct.select((Seq("source", "bucket") ++ feats).map(col) :+
+        col("rows_in"): _*)
       .collect().map(r => (r.getString(0), r.get(1).toString) -> r).toMap
     assert(a.keySet == b.keySet && a.nonEmpty)
     a.foreach { case (k, ra) =>
@@ -53,6 +55,12 @@ class RollupEngineSpec extends AnyFunSuite {
         assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(vb)),
           s"$k ${feats(i)}: cascade $va vs direct $vb")
       }
+      // rows_in means "raw rows in this bucket" at EVERY tier: the
+      // cascade must report the same count as the direct aggregation,
+      // not the number of finer buckets it merged
+      assert(ra.getLong(2 + feats.size) == rb.getLong(2 + feats.size),
+        s"$k rows_in: cascade ${ra.getLong(2 + feats.size)} vs " +
+          s"direct ${rb.getLong(2 + feats.size)}")
     }
 
     // rolled-up-point oracle: per (source, hour) the cascade features must
