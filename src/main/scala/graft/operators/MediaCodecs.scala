@@ -63,21 +63,26 @@ object MediaCodecs {
     }
     def int(): Int = {
       skipWs()
-      var v = 0
+      var v = 0L
       var any = false
       while (pos < bytes.length && (bytes(pos) >= '0' && bytes(pos) <= '9')) {
         v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        // fail fast on absurd header values instead of wrapping
+        require(v <= Int.MaxValue, s"netpbm header value overflows at byte $pos")
       }
       require(any, s"malformed netpbm header at byte $pos")
-      v
+      v.toInt
     }
     val w = int(); val h = int(); val maxval = int()
     require(w > 0 && h > 0 && maxval > 0 && maxval <= 255,
       s"unsupported netpbm dims/maxval w=$w h=$h maxval=$maxval")
     pos += 1 // single whitespace after maxval
-    val n = w * h * channels
-    require(bytes.length - pos >= n,
-      s"truncated netpbm payload: need $n raster bytes, have ${bytes.length - pos}")
+    // Long arithmetic: w*h*channels in Int could wrap negative for crafted
+    // headers and slip past the truncation check into the allocation
+    val nL = w.toLong * h * channels
+    require(bytes.length - pos >= nL,
+      s"truncated netpbm payload: need $nL raster bytes, have ${bytes.length - pos}")
+    val n = nL.toInt
     val px = new Array[Int](n)
     var i = 0
     while (i < n) { px(i) = bytes(pos + i) & 0xff; i += 1 }
@@ -165,15 +170,20 @@ object MediaCodecs {
     require(bpp == 24 && compression == 0,
       s"only uncompressed 24-bit BMP supported (bpp=$bpp compression=$compression)")
     require(w > 0 && h > 0, s"bad BMP dims ${w}x$hRaw")
-    val rowBytes = (w * 3 + 3) & ~3
-    require(bytes.length >= dataOff + rowBytes.toLong * h, "truncated BMP")
+    // dataOff comes from the payload: reject pointers outside the buffer
+    // (a negative or huge offset made the Long bound below pass); row
+    // stride in Long so w near 2^30 can't wrap the bound check either
+    require(dataOff >= 54 && dataOff <= bytes.length,
+      s"bad BMP data offset $dataOff")
+    val rowBytes = (w.toLong * 3 + 3) & ~3L
+    require(bytes.length >= dataOff + rowBytes * h, "truncated BMP")
     val px = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
       var x = 0
       while (x < w) {
-        val o = dataOff + srcRow * rowBytes + x * 3
+        val o = (dataOff + srcRow * rowBytes + x * 3).toInt
         val p = (y * w + x) * 3
         px(p) = bytes(o + 2) & 0xff     // R
         px(p + 1) = bytes(o + 1) & 0xff // G
@@ -188,7 +198,7 @@ object MediaCodecs {
   // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------
 
   def isWav(bytes: Array[Byte]): Boolean =
-    bytes.length > 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
+    bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
@@ -225,9 +235,12 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = le32(bytes, pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // 8L: the declared size is attacker-controlled — Int addition could
+      // wrap negative and sail past this bound
+      require(size >= 0 && pos + 8L + size <= bytes.length,
         s"truncated WAV chunk '$id'")
       if (id == "fmt ") {
+        require(size >= 16, s"fmt chunk too small ($size)")
         val fmt = le16(bytes, pos + 8)
         require(fmt == 1, s"only PCM WAV supported (format=$fmt)")
         channels = le16(bytes, pos + 10)

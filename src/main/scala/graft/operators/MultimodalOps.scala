@@ -67,17 +67,12 @@ object MultimodalOps {
   /** Deterministic byte-level fallback kernel for payloads no shipped
     * decoder handles (unknown magic or malformed): content hash + mean
     * byte as pseudo-brightness. Deterministic so tests stay exact. */
-  private def decodeStub(bytes: Array[Byte]): (Long, Double) = {
-    var h = 0xcbf29ce484222325L
+  private def decodeStub(bytes: Array[Byte]): Double = {
     var s = 0L
     var i = 0
-    while (i < bytes.length) {
-      h ^= bytes(i) & 0xffL
-      h *= 0x100000001b3L
-      s += bytes(i) & 0xff
-      i += 1
-    }
-    (h, s.toDouble / bytes.length / 255.0) // (content hash, mean "brightness")
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    // empty payloads are valid input; 0.0, not a 0/0 NaN
+    if (bytes.isEmpty) 0.0 else s.toDouble / bytes.length / 255.0
   }
 
   private def fnv(bytes: Array[Byte]): Long = {
@@ -97,14 +92,14 @@ object MultimodalOps {
       it.map { m =>
         val checksum = fnv(m.bytes)
         def fallback(reason: String): MediaFeatures = {
-          val (h, b) = decodeStub(m.bytes)
+          val b = decodeStub(m.bytes) // checksum already computed above
           val nFrames = m.kind match {
             case "video" => math.max(m.bytes.length / 512, 1)
             case "audio" => math.max(m.bytes.length / 64, 1)
             case _ => 1
           }
-          MediaFeatures(m.media_id, m.kind, m.bytes.length, h, b, nFrames,
-            m.source, decoded = false, -1, -1, -1)
+          MediaFeatures(m.media_id, m.kind, m.bytes.length, checksum, b,
+            nFrames, m.source, decoded = false, -1, -1, -1)
         }
         try {
           if (MediaCodecs.isNetpbm(m.bytes)) {
@@ -129,7 +124,11 @@ object MultimodalOps {
               decoded = true, -1, -1, au.sampleRate)
           } else fallback("unknown magic")
         } catch {
-          case _: IllegalArgumentException => fallback("malformed")
+          // NonFatal, not just IllegalArgumentException: a crafted payload
+          // can drive the decoders into index/allocation errors, and the
+          // contract is that a poison blob degrades to the fallback row —
+          // it never fails the job
+          case scala.util.control.NonFatal(_) => fallback("malformed")
         }
       }
     }

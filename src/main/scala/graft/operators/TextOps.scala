@@ -19,7 +19,11 @@ object TextOps {
     * DuckDB oracle counts the exact same matches. */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Whitespace token count + BPE-ish regex token count + char count. */
+  /** Whitespace token count + BPE-ish regex token count + char count.
+    * Documented SQL-mirror quirk: split on empty/whitespace-only text
+    * yields [""], so n_ws_tokens is 1 for an empty document — DuckDB's
+    * regexp_split_to_array does the same, and the oracle defines the
+    * operator's semantics. */
   def tokenCount(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
@@ -28,7 +32,11 @@ object TextOps {
       length(col("text")).cast("long").as("n_chars_m"))
 
   /** English stopword markers for the quality stopword ratio (whole-word
-    * occurrences via space padding — SQL-replicable, codegen'd). */
+    * occurrences via space padding — SQL-replicable, codegen'd).
+    * Documented SQL-mirror quirk: replace-based counting undercounts
+    * ADJACENT occurrences (" the the the " counts 2 — consecutive
+    * matches share the separating space); the oracle counts the same
+    * way, so both engines agree on the heuristic's exact value. */
   val Stopwords: Seq[String] = Seq(" the ", " and ", " of ", " to ", " a ",
     " in ", " is ", " it ")
 
@@ -69,7 +77,11 @@ object TextOps {
     val scored = scores.foldLeft(df.select(col("doc_id"), col("text"))) {
       case (d, (lang, c)) => d.withColumn(s"score_$lang", c)
     }
-    // argmax with precedence = declaration order (strict > comparisons)
+    // argmax with precedence = declaration order (strict > comparisons).
+    // A zero-marker document labels 'en' (first language wins all-zero
+    // ties) — the SAME semantics as the oracle's >=-chain; the 'und'
+    // seed is unreachable for non-null text and exists only to start
+    // the fold.
     val best = scores.map(_._1).foldLeft((lit("und"), lit(-1L))) {
       case ((bl, bs), lang) =>
         val s = col(s"score_$lang")

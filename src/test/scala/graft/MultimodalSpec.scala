@@ -102,4 +102,46 @@ class MultimodalSpec extends AnyFunSuite {
     // a 440 Hz tone has LOW spectral entropy vs white noise
     assert(ent.agg(avg("e")).head.getDouble(0) < 5.0)
   }
+
+  test("poison payloads degrade to the fallback row, never fail the job " +
+    "(crafted magic bytes driving decoder index/alloc paths)") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps.Media
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // BMP with a hugely negative data offset (defeated the Int bound)
+    val badBmp = {
+      val b = new Array[Byte](60)
+      b(0) = 'B'; b(1) = 'M'
+      System.arraycopy(le32(-1000000000), 0, b, 10, 4)
+      System.arraycopy(le32(2), 0, b, 18, 4)  // w
+      System.arraycopy(le32(2), 0, b, 22, 4)  // h
+      b(28) = 24                              // bpp
+      b
+    }
+    // WAV whose first chunk declares a near-Int.Max size (Int wrap)
+    val badWav = {
+      val b = new Array[Byte](64)
+      "RIFF".getBytes.copyToArray(b, 0)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "junk".getBytes.copyToArray(b, 12)
+      System.arraycopy(le32(0x7ffffff0), 0, b, 16, 4)
+      b
+    }
+    // netpbm whose header dims multiply past Int.MaxValue
+    val badPgm = "P5\n65536 32768\n255\n".getBytes ++ Array.fill(8)(1.toByte)
+    // empty payload (division guard in the fallback stub)
+    val rows = Seq(
+      Media(1L, "image", badBmp, -1, -1, -1, "s"),
+      Media(2L, "audio", badWav, -1, -1, -1, "s"),
+      Media(3L, "image", badPgm, -1, -1, -1, "s"),
+      Media(4L, "image", Array.empty[Byte], -1, -1, -1, "s")).toDS()
+    val out = graft.operators.MultimodalOps.extractFeatures(rows).collect()
+    assert(out.length == 4)
+    out.foreach { f =>
+      assert(!f.decoded, s"media ${f.media_id} must fall back")
+      assert(!f.brightness.isNaN, s"media ${f.media_id} brightness NaN")
+    }
+  }
 }
