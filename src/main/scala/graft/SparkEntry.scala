@@ -47,6 +47,21 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("c", duckRound(col("value") * 100, 0).cast("long"))
 
+  /** Events re-shaped as the north-rule token table: one doc per
+    * (event_type, 10-minute window), tokens = ts/event_id-ordered cents.
+    * Shared by the checkpoint-resume and retention gates. */
+  private def centsTokens(s: SparkSession, dir: String): DataFrame =
+    centsEvents(s, dir)
+      .groupBy(col("event_type").as("source"),
+        window(col("ts"), "10 minutes")("start").as("event_time"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("c")))).as("evs"))
+      .select(col("source"), col("event_time"),
+        concat(col("source"), lit("_"),
+          unix_timestamp(col("event_time"))).as("doc_id"),
+        transform(col("evs"), e => e.getField("c").cast("int")).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")))
+
   /** Flagship: headline features per user + 1h tier rollup, sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -384,17 +399,7 @@ object SparkEntry {
         f.delete()
       }
       del(new java.io.File(root))
-      val ev = centsEvents(s, dir)
-      val tok = ev
-        .groupBy(col("event_type").as("source"),
-          window(col("ts"), "10 minutes")("start").as("event_time"))
-        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
-          col("c")))).as("evs"))
-        .select(col("source"), col("event_time"),
-          concat(col("source"), lit("_"),
-            unix_timestamp(col("event_time"))).as("doc_id"),
-          transform(col("evs"), e => e.getField("c").cast("int")).as("tokens"))
-        .withColumn("n_tok", size(col("tokens")))
+      val tok = centsTokens(s, dir)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
         tiers = Seq("1h" -> "1 hour"), jobId = "resume-gate")
       val dayCol = unix_timestamp(date_trunc("day", col("event_time")))
@@ -402,6 +407,36 @@ object SparkEntry {
         .collect()(0).getLong(0)
       graft.engine.RollupJob.run(s, tok.where(dayCol === firstDay), conf)
       graft.engine.RollupJob.run(s, tok, conf) // resume: remaining days only
+      val feats = new graft.table.TableIO(root).read(s, "1h").get
+      feats.select(col("source").as("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_s"),
+        col("n_samples").cast("long").as("n"),
+        (col("mean") / 100.0).as("mean"))
+        .orderBy("event_type", "bucket_s")
+    }),
+
+    // Retention-expiry gate: the cascade commits 1h + 1d, then the 1h
+    // tier's retention policy (horizon 14 days behind the newest day)
+    // tombstones and vacuums every older day bucket; manifest checkpoint
+    // every 2 lines so the read path resolves through checkpoint +
+    // tombstone + compaction. A second run proves expired buckets stay
+    // done (resume recomputes nothing; output unchanged). The oracle
+    // recomputes the surviving bucket set (day >= max event day) from raw
+    // events.
+    "q_retention" -> ((s, dir) => {
+      val root = "/tmp/graft_retention_gate"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(root))
+      val tok = centsTokens(s, dir)
+      val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
+        tiers = Seq("1h" -> "1 hour", "1d" -> "1 day"),
+        jobId = "retention-gate", retention = Map("1h" -> 14L * 86400L),
+        manifestCheckpointEvery = 2)
+      graft.engine.RollupJob.run(s, tok, conf)
+      graft.engine.RollupJob.run(s, tok, conf.copy(jobId = "retention-gate-2"))
       val feats = new graft.table.TableIO(root).read(s, "1h").get
       feats.select(col("source").as("event_type"),
         unix_timestamp(col("bucket")).as("bucket_s"),
@@ -740,6 +775,24 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean
          FROM c WHERE gn >= 2 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // surviving-bucket recompute: full 1h aggregate, filtered to day
+    // buckets >= the retention cutoff (max event day - 14 days). The
+    // 10-minute windows never straddle a UTC day (600 | 86400), so the
+    // day of a doc's window start equals the day of its raw events.
+    "q_retention" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c,
+                    count(*) OVER (PARTITION BY event_type,
+                      time_bucket(INTERVAL 10 MINUTE, ts)) AS gn
+              FROM events),
+         mx AS (SELECT (max(floor(epoch(ts))::BIGINT) // 86400) * 86400
+                  - 14 * 86400 AS cutoff FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean
+         FROM c, mx WHERE gn >= 2
+           AND (epoch(b)::BIGINT // 86400) * 86400 >= cutoff
+         GROUP BY 1, 2, cutoff ORDER BY 1, 2""",
     // same direct-aggregate truth, reached through the streaming tier
     "q_streaming_equivalence" ->
       """WITH c AS (SELECT event_type, ts, event_id,

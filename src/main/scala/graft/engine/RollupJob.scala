@@ -29,7 +29,13 @@ object RollupJob {
       tiers: Seq[(String, String)] = Rollup.Tiers,
       chunkFeatures: Seq[String] = Seq("mean", "variance", "line_length",
         "hjorth_mobility", "hjorth_complexity"),
-      jobId: String = "rollup")
+      jobId: String = "rollup",
+      // cascading retention: tier -> horizon seconds behind the newest
+      // committed day; day buckets older than (max day - horizon) expire
+      // (tombstone + vacuum) AFTER the full cascade committed, so every
+      // coarser tier already holds the expired range
+      retention: Map[String, Long] = Map.empty,
+      manifestCheckpointEvery: Int = 16)
 
   final case class TierResult(tier: String, newDays: Seq[Long], points: Long)
 
@@ -43,7 +49,7 @@ object RollupJob {
 
   /** Run (or resume) the full cascade. */
   def run(spark: SparkSession, tokens: DataFrame, conf: Conf): Seq[TierResult] = {
-    val io = new TableIO(conf.tableRoot)
+    val io = new TableIO(conf.tableRoot, conf.manifestCheckpointEvery)
     val allDays = tokens.select(dayOf(col("event_time")).as("d"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
 
@@ -128,6 +134,17 @@ object RollupJob {
       finer = (committedStates, freshStates) match {
         case (Some(a), Some(b)) => Some(a.unionByName(b))
         case (a, b) => a.orElse(b)
+      }
+    }
+    // retention: every tier has committed every day by here, so expiring
+    // a fine tier can never starve a coarser tier's cascade. Expired days
+    // stay in doneBuckets — a later resume will not recompute them.
+    conf.retention.foreach { case (tierName, horizon) =>
+      val days = io.doneBuckets(tierName)
+      if (days.nonEmpty) {
+        val cutoff = days.max - horizon
+        io.expire(tierName, cutoff)
+        io.expire(s"$tierName-chunks", cutoff)
       }
     }
     // all commits are on disk; nothing lazy escapes this method

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   * Layout:
   *   root/data/<tier>/snap-<id>/   parquet (partitioned by source), immutable
   *   root/meta/snapshots.jsonl     one JSON object per committed snapshot
+  *                                 or retention tombstone, append-only
+  *   root/meta/checkpoint.jsonl    compaction of the log prefix (see below)
   *   root/meta/lineage.jsonl       per-(snapshot, bucket) lineage rows
   *
   * Commit protocol: write parquet to `<dir>.tmp`, atomic-rename to the
@@ -25,17 +27,54 @@ import org.apache.spark.sql.functions._
   * and re-runs the bucket idempotently. A torn manifest tail (crash
   * mid-append) is skipped on read and sealed on the next append. Commits
   * across processes serialize on a file lock (snapshot ids are allocated
-  * under it). Resume = input buckets minus `doneBuckets` (the manifest
-  * high-water-mark); last-commit-wins on bucket collisions.
+  * under it); within one JVM, writers on the same root serialize on a
+  * process-wide monitor first, so two TableIO instances never race into
+  * `FileChannel.lock` (which throws OverlappingFileLockException rather
+  * than blocking for same-JVM overlap). Resume = input buckets minus
+  * `doneBuckets` (the manifest high-water-mark); last-commit-wins on
+  * bucket collisions.
+  *
+  * Checkpoint compaction: the manifest is append-only forever, so a
+  * naive reader's cost grows with the table's whole commit history. Every
+  * `checkpointEvery` appended lines, the committer atomically replaces
+  * `meta/checkpoint.jsonl` with the resolved state of the log prefix —
+  * live snapshot lines, per-tier retention cutoffs, the merged done-bucket
+  * sets of dropped (fully superseded or expired) snapshots, the max
+  * allocated snapshot id, and the byte offset (`upTo`) the checkpoint
+  * covers. Readers then parse checkpoint + log tail only: O(live state +
+  * checkpointEvery), not O(history). The checkpoint is pure optimization —
+  * deleting it falls back to a full log read with identical results.
+  *
+  * Retention expiry: `expire(tier, cutoff)` appends a durable tombstone
+  * line; buckets `< cutoff` become invisible to `read` but REMAIN in
+  * `doneBuckets` (an expired bucket is still done — resume must never
+  * recompute it). Data directories whose every declared bucket is expired
+  * or superseded are physically deleted by `vacuum` (run as part of
+  * `expire` and of checkpoint compaction). The tombstone append is the
+  * expiry commit point: a crash before the directory delete leaves
+  * invisible orphans that the next expire/vacuum/compaction reclaims.
+  * Expiry assumes (like Iceberg's snapshot expiration) no concurrent
+  * reader holds a pre-expiry view of the same tier; the single-driver
+  * rollup job satisfies this by expiring only after its cascade completes.
   */
-final class TableIO(val root: String) {
+final class TableIO(val root: String, val checkpointEvery: Int = 16) {
   private val metaDir = Paths.get(root, "meta")
   private val snapshotsFile = metaDir.resolve("snapshots.jsonl")
+  private val checkpointFile = metaDir.resolve("checkpoint.jsonl")
   private val lineageFile = metaDir.resolve("lineage.jsonl")
 
   final case class Snapshot(id: Long, tier: String, dir: String,
                             buckets: Seq[Long], rows: Long, jobId: String,
                             committedAt: Long)
+
+  /** Resolved view of the manifest: live snapshots, per-tier retention
+    * cutoffs, done-buckets carried from compaction-dropped snapshots, the
+    * id high-water-mark, and how many log lines sit past the checkpoint
+    * (the compaction trigger). */
+  private final case class LogState(snaps: Vector[Snapshot],
+                                    cutoffs: Map[String, Long],
+                                    doneCompact: Map[String, Set[Long]],
+                                    maxId: Long, tailLines: Int)
 
   private def deleteRec(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -53,61 +92,161 @@ final class TableIO(val root: String) {
       case c => c.toString
     }
 
-  def snapshots(): Seq[Snapshot] = synchronized {
-    if (!Files.exists(snapshotsFile)) return Nil
-    val lines = Files.readAllLines(snapshotsFile, StandardCharsets.UTF_8)
-    import scala.jdk.CollectionConverters._
-    // Torn-write tolerance: a crash mid-append can leave a truncated
-    // line. A complete manifest line always ends with '}' — a line that
-    // doesn't is a torn tail and is skipped (its commit never became
-    // visible; the orphan data dir is reclaimed on the next commit). A
-    // '}'-terminated line that still fails to parse is real corruption
-    // and fails loudly.
-    lines.asScala.toSeq.filter(_.nonEmpty).flatMap { l =>
-      if (!l.endsWith("}")) None else Some(parseSnapshot(l))
-    }
+  // ---------------------------------------------------------------- parse
+
+  /** Extract a field's raw value from one of our own fixed-shape JSON
+    * lines. String fields honour the escapes esc() writes (\" \\ \uXXXX),
+    * so a quoted jobId/tier round-trips instead of truncating at the
+    * first '"'. Returns None when the field is absent. */
+  private def jsField(line: String, name: String): Option[String] = {
+    val i = line.indexOf("\"" + name + "\":")
+    if (i < 0) return None
+    val start = i + name.length + 3
+    Some(line(start) match {
+      case '"' =>
+        val sb = new StringBuilder
+        var j = start + 1
+        while (j < line.length && line(j) != '"') {
+          if (line(j) == '\\') {
+            line(j + 1) match {
+              case 'u' =>
+                sb.append(Integer.parseInt(line.substring(j + 2, j + 6), 16).toChar)
+                j += 6
+              case c => sb.append(c); j += 2
+            }
+          } else { sb.append(line(j)); j += 1 }
+        }
+        sb.toString
+      case '[' =>
+        val end = line.indexOf(']', start)
+        line.substring(start + 1, end)
+      case _ =>
+        var end = start
+        while (end < line.length && line(end) != ',' && line(end) != '}') end += 1
+        line.substring(start, end)
+    })
   }
 
-  // minimal JSON parsing for our own fixed-shape lines (no external deps).
-  // String fields honour the escapes esc() writes (\" \\ \uXXXX), so a
-  // quoted jobId/tier round-trips instead of truncating at the first '"'.
-  private def parseSnapshot(line: String): Snapshot = {
-    def field(name: String): String = {
-      val i = line.indexOf("\"" + name + "\":")
-      require(i >= 0, s"missing $name in $line")
-      val start = i + name.length + 3
-      line(start) match {
-        case '"' =>
-          val sb = new StringBuilder
-          var j = start + 1
-          while (j < line.length && line(j) != '"') {
-            if (line(j) == '\\') {
-              line(j + 1) match {
-                case 'u' =>
-                  sb.append(Integer.parseInt(line.substring(j + 2, j + 6), 16).toChar)
-                  j += 6
-                case c => sb.append(c); j += 2
-              }
-            } else { sb.append(line(j)); j += 1 }
+  private def reqField(line: String, name: String): String =
+    jsField(line, name).getOrElse(
+      throw new IllegalStateException(s"missing $name in $line"))
+
+  private def parseSnapshot(line: String): Snapshot =
+    Snapshot(reqField(line, "id").toLong, reqField(line, "tier"),
+      reqField(line, "dir"),
+      reqField(line, "buckets").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq,
+      reqField(line, "rows").toLong, reqField(line, "jobId"),
+      reqField(line, "committedAt").toLong)
+
+  private def snapJson(s: Snapshot): String =
+    s"""{"id":${s.id},"tier":"${esc(s.tier)}","dir":"${esc(s.dir)}",""" +
+      s""""buckets":[${s.buckets.mkString(",")}],"rows":${s.rows},""" +
+      s""""jobId":"${esc(s.jobId)}","committedAt":${s.committedAt}}"""
+
+  private def parseBuckets(raw: String): Set[Long] =
+    raw.split(",").filter(_.nonEmpty).map(_.trim.toLong).toSet
+
+  // ------------------------------------------------------------- log read
+
+  /** Parse checkpoint (if any) + the log tail past its `upTo` offset.
+    * Torn-write tolerance on the tail: a crash mid-append can leave a
+    * truncated line. A complete manifest line always ends with '}' — a
+    * line that doesn't is a torn tail and is skipped (its commit never
+    * became visible; the orphan data dir is reclaimed later). A
+    * '}'-terminated line that still fails to parse is real corruption and
+    * fails loudly. */
+  private def readLog(): LogState = {
+    var snaps = Vector.empty[Snapshot]
+    var cutoffs = Map.empty[String, Long]
+    var done = Map.empty[String, Set[Long]]
+    var maxId = 0L
+    var upTo = 0L
+    if (Files.exists(checkpointFile)) {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(checkpointFile, StandardCharsets.UTF_8)
+        .asScala.filter(_.nonEmpty).foreach { l =>
+          if (l.contains("\"checkpoint\":true")) {
+            upTo = reqField(l, "upTo").toLong
+            maxId = reqField(l, "maxId").toLong
+          } else if (l.contains("\"cutoffTier\"")) {
+            cutoffs += reqField(l, "cutoffTier") -> reqField(l, "cutoff").toLong
+          } else if (l.contains("\"doneTier\"")) {
+            val t = reqField(l, "doneTier")
+            done += t -> (done.getOrElse(t, Set.empty) ++
+              parseBuckets(reqField(l, "buckets")))
+          } else snaps :+= parseSnapshot(l)
+        }
+    }
+    var tail = 0
+    if (Files.exists(snapshotsFile)) {
+      val size = Files.size(snapshotsFile)
+      // the manifest is append-only: shrinking below a checkpoint's
+      // covered offset is corruption, not a state we can silently mend
+      require(size >= upTo,
+        s"manifest $snapshotsFile ($size B) shorter than checkpoint offset $upTo")
+      if (size > upTo) {
+        val ch = java.nio.channels.FileChannel.open(snapshotsFile,
+          StandardOpenOption.READ)
+        val buf = java.nio.ByteBuffer.allocate((size - upTo).toInt)
+        try {
+          var pos = upTo
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, pos)
+            if (n < 0) throw new IllegalStateException(
+              s"manifest $snapshotsFile truncated while reading tail")
+            pos += n
           }
-          sb.toString
-        case '[' =>
-          val end = line.indexOf(']', start)
-          line.substring(start + 1, end)
-        case _ =>
-          var end = start
-          while (end < line.length && line(end) != ',' && line(end) != '}') end += 1
-          line.substring(start, end)
+        } finally ch.close()
+        new String(buf.array(), StandardCharsets.UTF_8).split("\n", -1)
+          .filter(_.nonEmpty).foreach { l =>
+            if (!l.endsWith("}")) () // torn tail — never committed
+            else if (l.contains("\"tombstone\":true")) {
+              val t = reqField(l, "tier")
+              val c = reqField(l, "cutoff").toLong
+              cutoffs += t -> math.max(cutoffs.getOrElse(t, Long.MinValue), c)
+              tail += 1
+            } else {
+              val s = parseSnapshot(l)
+              snaps :+= s
+              maxId = math.max(maxId, s.id)
+              tail += 1
+            }
+          }
       }
     }
-    Snapshot(field("id").toLong, field("tier"), field("dir"),
-      field("buckets").split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq,
-      field("rows").toLong, field("jobId"), field("committedAt").toLong)
+    LogState(snaps, cutoffs, done, maxId, tail)
   }
 
-  /** Buckets already committed for a tier (checkpoint high-water-mark). */
-  def doneBuckets(tier: String): Set[Long] =
-    snapshots().filter(_.tier == tier).flatMap(_.buckets).toSet
+  /** Live buckets a snapshot still serves: declared, not superseded by a
+    * later commit of the same (tier, bucket), not expired. Shared by
+    * read, vacuum and compaction so visibility and deletion agree. */
+  private def keptBuckets(st: LogState): Map[Long, Seq[Long]] = {
+    val winner = st.snaps
+      .flatMap(s => s.buckets.map(b => (s.tier, b) -> s.id)).toMap // snaps id-ordered: toMap keeps last
+    st.snaps.map { s =>
+      val cut = st.cutoffs.getOrElse(s.tier, Long.MinValue)
+      s.id -> s.buckets.filter(b => winner((s.tier, b)) == s.id && b >= cut)
+    }.toMap
+  }
+
+  /** Live snapshot entries (post-compaction the fully superseded/expired
+    * ones are dropped; their buckets survive in `doneBuckets`). */
+  def snapshots(): Seq[Snapshot] = synchronized { readLog().snaps }
+
+  /** Buckets already committed for a tier (checkpoint high-water-mark).
+    * Includes expired buckets: expiry is a visibility decision, not an
+    * un-commit — resume must never recompute an expired bucket. */
+  def doneBuckets(tier: String): Set[Long] = synchronized {
+    val st = readLog()
+    st.doneCompact.getOrElse(tier, Set.empty) ++
+      st.snaps.filter(_.tier == tier).flatMap(_.buckets)
+  }
+
+  /** Per-tier retention cutoff (min surviving bucket), if any. */
+  def retentionCutoff(tier: String): Option[Long] =
+    synchronized { readLog().cutoffs.get(tier) }
+
+  // ------------------------------------------------------------ log write
 
   /** Append `payload` starting on a fresh line and fsync — the manifest
     * is the commit point, so a "committed" snapshot must survive power
@@ -134,16 +273,96 @@ final class TableIO(val root: String) {
     } finally ch.close()
   }
 
-  /** Run `body` holding the table's cross-process commit lock — two
-    * writers on one root otherwise allocate colliding snapshot ids (the
-    * instance-level `synchronized` only covers one JVM). */
-  private def withCommitLock[T](body: => T): T = {
-    val ch = java.nio.channels.FileChannel.open(metaDir.resolve("commit.lock"),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+  /** Run `body` holding the table's commit lock — two writers on one root
+    * otherwise allocate colliding snapshot ids. Cross-process: a file
+    * lock. Same-JVM: a process-wide monitor keyed on the canonical root,
+    * acquired FIRST, because `FileChannel.lock` throws
+    * OverlappingFileLockException (instead of blocking) when any channel
+    * in this JVM already holds the file's lock. */
+  private def withCommitLock[T](body: => T): T =
+    TableIO.rootMonitor(root).synchronized {
+      val ch = java.nio.channels.FileChannel.open(metaDir.resolve("commit.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Atomically replace the checkpoint with the resolved state of the log
+    * up to its current end. Fully dead snapshots (no kept buckets) are
+    * vacuumed and dropped; their buckets fold into the compact done sets.
+    * Crash-safe: tmp + fsync + ATOMIC_MOVE — a torn write leaves the old
+    * checkpoint, whose smaller `upTo` just means a longer tail parse. */
+  private def writeCheckpointLocked(st: LogState): Unit = {
+    vacuumLocked(st)
+    val kept = keptBuckets(st)
+    val (live, dead) = st.snaps.partition(s => kept(s.id).nonEmpty)
+    val doneAll = dead.foldLeft(st.doneCompact) { (m, s) =>
+      m.updated(s.tier, m.getOrElse(s.tier, Set.empty) ++ s.buckets)
+    }
+    val upTo = if (Files.exists(snapshotsFile)) Files.size(snapshotsFile) else 0L
+    val sb = new StringBuilder
+    sb.append(s"""{"checkpoint":true,"upTo":$upTo,"maxId":${st.maxId}}""").append('\n')
+    st.cutoffs.toSeq.sortBy(_._1).foreach { case (t, c) =>
+      sb.append(s"""{"cutoffTier":"${esc(t)}","cutoff":$c}""").append('\n')
+    }
+    doneAll.toSeq.sortBy(_._1).foreach { case (t, bs) =>
+      sb.append(s"""{"doneTier":"${esc(t)}","buckets":[${bs.toSeq.sorted.mkString(",")}]}""")
+        .append('\n')
+    }
+    live.foreach(s => sb.append(snapJson(s)).append('\n'))
+    val tmp = metaDir.resolve("checkpoint.jsonl.tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      val lock = ch.lock()
-      try body finally lock.release()
+      ch.write(java.nio.ByteBuffer.wrap(
+        sb.toString.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
     } finally ch.close()
+    Files.move(tmp, checkpointFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete data directories no reader can ever see again (every declared
+    * bucket superseded or expired). Idempotent — re-run reclaims orphans
+    * left by a crash between tombstone append and delete. */
+  private def vacuumLocked(st: LogState): Unit = {
+    val kept = keptBuckets(st)
+    st.snaps.filter(s => s.dir.nonEmpty && kept(s.id).isEmpty).foreach { s =>
+      val dir = Paths.get(root, s.dir)
+      if (Files.exists(dir)) deleteRec(dir)
+    }
+  }
+
+  /** Reclaim dead data directories (see vacuumLocked). */
+  def vacuum(): Unit = synchronized { withCommitLock { vacuumLocked(readLog()) } }
+
+  /** Expire a tier's buckets strictly below `cutoff` (epoch seconds of
+    * the commit bucket): appends a durable tombstone (the expiry commit
+    * point), then vacuums directories it killed. Monotone — a cutoff at
+    * or below the current one appends nothing (still vacuums). Callers
+    * own the cascade invariant: only expire a fine tier once every
+    * coarser tier has committed the covered range, because expired
+    * buckets cannot seed a future cascade. */
+  def expire(tier: String, cutoff: Long): Unit = synchronized {
+    Files.createDirectories(metaDir)
+    withCommitLock {
+      val st = readLog()
+      val cur = st.cutoffs.getOrElse(tier, Long.MinValue)
+      if (cutoff > cur) {
+        appendDurable(snapshotsFile,
+          s"""{"tombstone":true,"tier":"${esc(tier)}","cutoff":$cutoff,""" +
+            s""""at":${System.currentTimeMillis()}}""" + "\n")
+      }
+      val st2 = st.copy(
+        cutoffs = st.cutoffs.updated(tier, math.max(cur, cutoff)),
+        tailLines = st.tailLines + (if (cutoff > cur) 1 else 0))
+      vacuumLocked(st2)
+      if (st2.tailLines >= checkpointEvery) writeCheckpointLocked(st2)
+    }
   }
 
   /** Atomically commit a tier DataFrame covering `buckets`. */
@@ -158,7 +377,8 @@ final class TableIO(val root: String) {
       s"commit('$tier'): DataFrame must carry a commit_bucket column")
     Files.createDirectories(metaDir)
     withCommitLock {
-    val id = snapshots().map(_.id).maxOption.getOrElse(0L) + 1
+    val st = readLog()
+    val id = st.maxId + 1
     // A bucket can legitimately finalize to zero rows (every input row
     // below the state minimum): record it in the manifest (it IS done —
     // resume must not re-run it forever) but write no data directory
@@ -195,30 +415,30 @@ final class TableIO(val root: String) {
     }
     val snap = Snapshot(id, tier, relDir, buckets, rows, jobId,
       System.currentTimeMillis())
-    val json = s"""{"id":${snap.id},"tier":"${esc(tier)}","dir":"${esc(relDir)}",""" +
-      s""""buckets":[${buckets.mkString(",")}],"rows":$rows,""" +
-      s""""jobId":"${esc(jobId)}","committedAt":${snap.committedAt}}""" + "\n"
-    appendDurable(snapshotsFile, json)
+    appendDurable(snapshotsFile, snapJson(snap) + "\n")
+    if (st.tailLines + 1 >= checkpointEvery)
+      writeCheckpointLocked(st.copy(snaps = st.snaps :+ snap, maxId = id,
+        tailLines = st.tailLines + 1))
     snap
     }
   }
 
   /** Read a tier through the manifest: union of committed snapshot dirs,
-    * last-commit-wins per (bucket, key row) via snapshot precedence. */
+    * last-commit-wins per (bucket, key row) via snapshot precedence,
+    * retention-expired buckets excluded. */
   def read(spark: SparkSession, tier: String): Option[DataFrame] = {
-    val snaps = snapshots().filter(_.tier == tier).sortBy(_.id)
+    val st = synchronized { readLog() }
+    val snaps = st.snaps.filter(_.tier == tier).sortBy(_.id)
     if (snaps.isEmpty) return None
-    // bucket -> winning snapshot id (last commit wins, including data-less
-    // zero-row commits: a bucket whose latest commit is empty reads empty)
-    val winner = snaps.flatMap(s => s.buckets.map(_ -> s.id)).toMap
-    val dfs = snaps.filter(_.dir.nonEmpty).map { s =>
-      val keep = s.buckets.filter(b => winner(b) == s.id)
+    val kept = keptBuckets(st)
+    // skip snapshots serving nothing — their dir may already be vacuumed
+    val dfs = snaps.filter(s => s.dir.nonEmpty && kept(s.id).nonEmpty).map { s =>
       val df = spark.read.parquet(Paths.get(root, s.dir).toString)
-      // ALWAYS filter to the declared winning buckets — skipping the
+      // ALWAYS filter to the surviving winning buckets — skipping the
       // filter when keep == declared let rows whose commit_bucket was
       // never declared leak past last-commit-wins (commit() does not
       // validate the data's buckets against the declared list)
-      df.where(col("commit_bucket").isin(keep: _*))
+      df.where(col("commit_bucket").isin(kept(s.id): _*))
     }
     if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
   }
@@ -267,4 +487,14 @@ final class TableIO(val root: String) {
       Files.readAllLines(lineageFile, StandardCharsets.UTF_8).asScala.toSeq
     }
   }
+}
+
+object TableIO {
+  // JVM-wide commit monitors, one per canonical table root: same-JVM
+  // writers serialize here BEFORE touching the (per-process) file lock
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def rootMonitor(root: String): Object =
+    rootMonitors.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
 }

@@ -68,6 +68,32 @@ class HardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("TableIO: two instances on one root commit concurrently in one " +
+    "JVM — serialized ids, no OverlappingFileLockException") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val a = new TableIO(root)
+    val b = new TableIO(root)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = Seq(a, b).zipWithIndex.map { case (io, t) =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { i =>
+            val df = Seq((t * 10L + i, "s", 1.0)).toDF("commit_bucket", "source", "v")
+            ids.add(io.commit("conc", df, Seq(t * 10L + i), s"job$t").id)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent commit failed: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val got = ids.asScala.toSeq
+    assert(got.size == 6 && got.distinct.size == 6, s"ids collided: $got")
+    assert(a.doneBuckets("conc").size == 6)
+  }
+
   test("TableIO crash recovery: orphan snap dir reclaimed, torn manifest " +
     "tail skipped and sealed, undeclared commit_bucket filtered on read") {
     import spark.implicits._

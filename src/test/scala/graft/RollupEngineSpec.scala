@@ -164,6 +164,72 @@ class RollupEngineSpec extends AnyFunSuite {
     assert(ioB.lineageLines().nonEmpty)
   }
 
+  test("manifest checkpoint compaction: many commits read via checkpoint; " +
+    "results identical without it; dropped ids never reallocated") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory("graft_ckpt").toString
+    val io = new TableIO(root, checkpointEvery = 4)
+    def df(b: Long, v: Double) =
+      Seq(("s1", b, v)).toDF("source", "commit_bucket", "value")
+    def day(i: Int) = i * 86400L
+    // commits 1-3: buckets 0,1,2; commit 4 re-commits bucket 0 (last
+    // wins) and lands exactly on the compaction boundary, so snap 1 is
+    // dropped from the checkpoint and its bucket folds into the compact
+    // done set
+    (0 until 3).foreach(i => io.commit("f", df(day(i), i.toDouble), Seq(day(i)), "j"))
+    io.commit("f", df(day(0), 99.0), Seq(day(0)), "j2")
+    (3 until 9).foreach(i => io.commit("f", df(day(i), i.toDouble), Seq(day(i)), "j"))
+    val ckpt = JPaths.get(root, "meta", "checkpoint.jsonl")
+    assert(JFiles.exists(ckpt), "compaction never triggered")
+    def dump() = io.read(spark, "f").get.select("commit_bucket", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val withCkpt = dump()
+    val done = io.doneBuckets("f")
+    assert(done == (0 until 9).map(day).toSet)
+    assert(withCkpt.size == 9 && withCkpt.head == (day(0), 99.0))
+    // snapshots() lists live entries only: snap 1 was compacted away
+    assert(!io.snapshots().exists(_.id == 1L))
+    // id allocation survives compaction (maxId rides the checkpoint header)
+    assert(io.commit("f", df(day(9), 9.0), Seq(day(9)), "j3").id == 11L)
+    // the checkpoint is pure optimization: deleting it must not change
+    // anything (full-log read recomputes the identical state)
+    JFiles.delete(ckpt)
+    assert(dump() == withCkpt :+ (day(9), 9.0))
+    assert(io.doneBuckets("f") == done + day(9))
+  }
+
+  test("retention expiry: tombstone hides + vacuum deletes expired " +
+    "buckets; expired stays done; orphan dir reclaimed; cutoff monotone") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory("graft_ret").toString
+    val io = new TableIO(root, checkpointEvery = 100)
+    def df(b: Long, v: Double) =
+      Seq(("s1", b, v)).toDF("source", "commit_bucket", "value")
+    (0 until 3).foreach(i =>
+      io.commit("f", df(i * 86400L, i.toDouble), Seq(i * 86400L), "j"))
+    io.expire("f", 2 * 86400L)
+    val rows = io.read(spark, "f").get.select("commit_bucket")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(2 * 86400L))
+    // expiry is a visibility decision, not an un-commit
+    assert(io.doneBuckets("f") == Set(0L, 86400L, 2 * 86400L))
+    assert(io.retentionCutoff("f").contains(2 * 86400L))
+    // fully-expired snapshot dirs are physically gone; survivor remains
+    assert(!JFiles.exists(JPaths.get(root, "data", "f", "snap-1")))
+    assert(!JFiles.exists(JPaths.get(root, "data", "f", "snap-2")))
+    assert(JFiles.exists(JPaths.get(root, "data", "f", "snap-3")))
+    // crash between tombstone append and delete: the orphaned dead dir is
+    // reclaimed by the next vacuum
+    JFiles.createDirectories(JPaths.get(root, "data", "f", "snap-1"))
+    io.vacuum()
+    assert(!JFiles.exists(JPaths.get(root, "data", "f", "snap-1")))
+    // monotone: a lower cutoff appends nothing and changes nothing
+    io.expire("f", 0L)
+    assert(io.retentionCutoff("f").contains(2 * 86400L))
+  }
+
   test("token-array equality invariant: ingest -> table -> read back") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_tok").toString
