@@ -514,6 +514,9 @@ object SparkEntry {
     "q_ann_ivf_top3" -> ((s, dir) =>
       AnnOps.ivfTopK(AnnOps.embeddings(s, dir), 3)
         .orderBy("query_id", "rk")),
+    "q_ann_ivf_kmeans" -> ((s, dir) =>
+      AnnOps.ivfTopKKmeans(AnnOps.embeddings(s, dir), 3)
+        .orderBy("query_id", "rk")),
     "q_embed_near_dup" -> ((s, dir) =>
       DedupOps.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
         .orderBy("id_a", "id_b"))

@@ -132,11 +132,34 @@ object AnnOps {
         graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"))
   }
 
+  /** IVF top-k over k-means-refined centroids (the skew-robust production
+    * path, now oracle-gated): converged Lloyd centroids become the probe
+    * cells; candidate generation, cell ranking, and the bounded-heap
+    * top-k are shared with the stride-centroid path. The DuckDB oracle
+    * mirrors the full Lloyd iteration as a recursive CTE, so the centroid
+    * set is recomputed — not smuggled — on the oracle side. */
+  def ivfTopKKmeans(emb: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                    queryMod: Int = 50, iters: Int = 10,
+                    sampleCap: Int = 4096): DataFrame = {
+    val cents = kmeansCentroids(emb, nLists, iters, sampleCap)
+    val cArr = array(cents.zipWithIndex.map { case (v, i) =>
+      struct(lit(i.toLong).as("cid"), array(v.map(lit).toIndexedSeq: _*).as("cv"))
+    }.toIndexedSeq: _*)
+    val cand = candidatesForCentroids(emb, cArr, nProbe, queryMod)
+    cand.groupBy(col("query_id"))
+      .agg(graft.functions.bounded_sorted_collect(
+        struct((-col("sim")).as("negsim"), col("nn_id"), col("sim")), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.nn_id").as("nn_id"),
+        graft.functions.duckRound(col("t.sim"), 5).as("cos_sim"),
+        (col("pos") + lit(1)).cast("int").as("rk"))
+  }
+
   /** Shared IVF candidate generation (centroids, cell assignment, probe
     * join). */
   private def ivfCandidates(emb: DataFrame, nLists: Int, nProbe: Int,
                             queryMod: Int): DataFrame = {
-    val spark = emb.sparkSession
     val n = emb.count()
     val stride = math.max(n / nLists, 1L)
     // sort before limit: an unordered distributed limit is not stable
@@ -150,6 +173,14 @@ object AnnOps {
     val cArr = array(cvs.map { case (cid, v) =>
       struct(lit(cid).as("cid"), array(v.map(lit).toIndexedSeq: _*).as("cv"))
     }.toIndexedSeq: _*)
+    candidatesForCentroids(emb, cArr, nProbe, queryMod)
+  }
+
+  /** Candidate generation against a literal centroid array: assign the
+    * corpus to its nearest cell (one narrow pass), probe the nProbe
+    * nearest cells per query, exact cosine on the bucket-joined pairs. */
+  private def candidatesForCentroids(emb: DataFrame, cArr: Column,
+                                     nProbe: Int, queryMod: Int): DataFrame = {
     def nearestCells(v: Column, take: Int): Column =
       slice(transform(
         array_sort(transform(cArr, c =>

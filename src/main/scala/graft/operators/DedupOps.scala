@@ -173,14 +173,17 @@ object DedupOps {
     // its materialized 16-byte rows and keeps the plan O(1) per round.
     // Superseded checkpoints are freed eagerly (freeLocalCheckpoint)
     // instead of waiting on driver GC + ContextCleaner.
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+    var ck = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
+    var labels = ck
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       // hook: min over own + neighbour labels (every node has >= 1 edge,
-      // so the inner join covers the whole node set)
+      // so the inner join covers the whole node set). The pre-round label
+      // rides along as `prev` so convergence is decided in this round's
+      // own pass instead of a separate join + count job.
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("label").as("nl")),
           "doc_b")
@@ -189,28 +192,37 @@ object DedupOps {
       // this frame, so without it the hook join + groupBy would execute
       // twice per round
       val hooked = labels.join(nbrMin, Seq("doc_id"))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), col("minNbr")).as("label"))
         .localCheckpoint(true)
       // shortcut (pointer doubling): label <- label(label); left join
-      // for safety though every label is itself a node id
+      // for safety though every label is itself a node id. Convergence
+      // detection rides the SAME materializing action via observe() —
+      // the CollectMetrics node aggregates max(prev != label) while the
+      // localCheckpoint job writes the round's rows, so each round is one
+      // Spark job for hook-checkpoint + one for shortcut-checkpoint, with
+      // no third convergence job.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = hooked
         .join(hooked.select(col("label").as("ll"), col("doc_id").as("label")),
           Seq("label"), "left")
-        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"),
+          col("prev"))
+        .observe(obs, max(when(col("prev") =!= col("label"), 1L)
+          .otherwise(0L)).as("moved"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .where(col("n.label") =!= col("o.label")).count()
+      val moved = obs.get.get("moved").flatMap(Option(_))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       freeLocalCheckpoint(hooked)
-      freeLocalCheckpoint(labels)
-      labels = next
-      converged = changed == 0
+      freeLocalCheckpoint(ck)
+      ck = next
+      labels = next.select(col("doc_id"), col("label"))
+      converged = moved == 0L
       iter += 1
     }
     edges.unpersist(blocking = false)
     if (!converged) {
-      freeLocalCheckpoint(labels)
+      freeLocalCheckpoint(ck)
       throw new IllegalStateException(
         s"clustersFromPairs: label propagation not converged after $maxIters rounds")
     }

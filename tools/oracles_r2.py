@@ -664,6 +664,77 @@ sim AS (SELECT id_a, id_b,
 SELECT id_a, id_b, round(s, 5) AS cos_sim FROM sim
 WHERE s >= 0.4 ORDER BY id_a, id_b"""
 
+    # k-means-refined IVF: the Lloyd iteration itself is mirrored as a
+    # recursive CTE (normalized sample ordered by vec_id, stride-seeded
+    # init, 10 iterations, sequential per-dim sums in sample order, first-
+    # index argmin tie-break) — validated bit-exact against a python
+    # mirror of AnnOps.kmeansCentroids before wiring (/tmp/km_proto.py,
+    # worst abs diff 0.0). Assignment/probe/top-k mirror q_ann_ivf_top3
+    # with cid = centroid index.
+    o["q_ann_ivf_kmeans"] = """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+samp AS (SELECT rn, CASE WHEN nrm = 0 THEN raw
+                         ELSE list_transform(raw, x -> x / nrm) END AS sv
+         FROM (SELECT v AS raw,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS rn
+               FROM e ORDER BY vec_id LIMIT 4096)),
+sampagg AS (SELECT list(sv ORDER BY rn) AS allv, count(*) AS cnt FROM samp),
+init AS (SELECT list_transform(range(16),
+           c -> allv[(c * cnt // 16) + 1]) AS cents FROM sampagg),
+km AS (
+  SELECT 0 AS iter, cents FROM init
+  UNION ALL
+  SELECT iter + 1,
+    list_transform(range(16), ci ->
+      CASE WHEN cnts[ci + 1] = 0 THEN cents[ci + 1]
+           ELSE list_transform(range(1, 65), j -> sums[ci + 1][j] / cnts[ci + 1])
+      END) AS cents
+  FROM (
+    SELECT iter, cents, allv,
+      list_transform(range(16), ci -> len(list_filter(bests, b -> b = ci))) AS cnts,
+      list_transform(range(16), ci ->
+        list_transform(range(1, 65), j ->
+          list_sum(list_transform(
+            list_filter(range(1, len(bests) + 1), i -> bests[i] = ci),
+            i -> allv[i][j])))) AS sums
+    FROM (
+      SELECT iter, cents, allv,
+        list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS bests
+      FROM (
+        SELECT km.iter, km.cents, sampagg.allv,
+          list_transform(allv, sv ->
+            list_transform(range(16), ci ->
+              list_sum(list_transform(range(1, 65), j ->
+                (sv[j] - cents[ci + 1][j]) * (sv[j] - cents[ci + 1][j]))))) AS dls
+        FROM km, sampagg
+        WHERE km.iter < 10
+      )
+    )
+  )
+),
+kcent AS (SELECT ci AS cid, cents[ci + 1] AS cv
+          FROM (SELECT cents FROM km WHERE iter = 10), range(16) t(ci)),
+asgn AS (SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS crk
+         FROM e, kcent),
+corpus AS (SELECT vec_id AS nn_id, v AS nv, cid AS cell
+           FROM asgn WHERE crk = 1),
+queries AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+            FROM asgn WHERE vec_id % 50 = 0 AND crk <= 4),
+cand AS (SELECT q.query_id, c.nn_id,
+           list_cosine_similarity(q.qv, c.nv) AS sim
+         FROM queries q JOIN corpus c ON c.cell = q.cell
+         WHERE c.nn_id <> q.query_id),
+best AS (SELECT query_id, nn_id, sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, nn_id) AS rk
+         FROM cand WHERE NOT isnan(sim))
+SELECT query_id, nn_id, round(sim, 5) AS cos_sim, rk::INT AS rk
+FROM best WHERE rk <= 3 ORDER BY query_id, rk"""
+
     o["q_ann_ivf_top1"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents AS (SELECT vec_id AS cid, v AS cv FROM e
