@@ -37,10 +37,11 @@ import org.apache.spark.sql.functions._
   *    nothing; a separate count() action would time a second full
   *    evaluation). Each query's time is recorded into watchdog-visible
   *    state AS IT FINISHES, heavy structural gates run last, and the
-  *    pass self-truncates (with a note) when the remaining budget runs
-  *    low — a watchdog emit mid-pass still carries every timing measured
-  *    so far. A second light-only pass (per-query min) only if budget
-  *    remains.
+  *    pass self-truncates (with a pass-named note) when the remaining
+  *    budget runs low — a watchdog emit mid-pass still carries every
+  *    timing measured so far. Re-times (per-query min) if budget remains:
+  *    heavy structural gates FIRST (the most weather-exposed numbers; r4
+  *    starved them behind the light polish), then the light queries.
   * 3. Leftover budget: scaling retries for any level still missing a
   *    clean pass, then supplementary wide-JVM passes (p=2, 8).
   */
@@ -60,6 +61,9 @@ object Bench {
     @volatile var passes: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
     @volatile var extras: Vector[(Int, Double, Long, Double, Boolean)] = Vector.empty
     @volatile var notes: Vector[String] = Vector.empty
+    // adaptive eff-refinement samples taken (disclosed in the artifact —
+    // ADVICE r4: the outcome-conditioned stopping rule must be visible)
+    @volatile var effRefineAttempts = 0
     def addPass(p: (Int, Double, Long, Double, Boolean)): Unit =
       synchronized { passes :+= p }
     def addExtra(p: (Int, Double, Long, Double, Boolean)): Unit =
@@ -192,9 +196,15 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = state.queryTimes.values.sum
     val notesJson = state.notes.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    // headline_clean: false when cleanOrAll had to fall back to
+    // interference-flagged passes for either headline level
+    val headlineClean = (!haveScaling) ||
+      (level(1).exists(_._5) && level(4).exists(_._5))
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${state.sfDir}",""" +
         s""""query_passes":${state.queryPasses},""" +
+        s""""headline_clean":$headlineClean,""" +
+        s""""eff_refine_attempts":${state.effRefineAttempts},""" +
         s""""rollup_tokens":${math.max(tok1, tok4)},"rollup_sec_localN":${num(sec1)},""" +
         s""""rollup_sec_local4N":${num(sec4)},""" +
         s""""rollup_cpu_localN":${num(cpu1)},""" +
@@ -316,14 +326,17 @@ object Bench {
       // (r3's watchdog emit mid-pass discarded ~600 s of finished
       // timings); the pass cuts itself short when the budget runs out so
       // the normal emit path, not the watchdog, usually ships the line.
-      def onePass(only: Set[String], recordLive: Boolean): Map[String, Double] = {
+      def onePass(only: Set[String], recordLive: Boolean,
+                  passName: String): Map[String, Double] = {
         var acc = Map.empty[String, Double]
         var truncated = false
         for ((name, fn) <- named
              if !truncated && (only.isEmpty || only.contains(name))) {
           if (remaining < 40) {
             truncated = true
-            state.addNote(s"query_pass_truncated_before_$name")
+            // the pass is NAMED in the note: a truncated heavy re-time or
+            // light polish must not read as lost pass-1 evidence
+            state.addNote(s"${passName}_truncated_before_$name")
           } else {
             val t0 = System.nanoTime()
             try forceEval(fn(spark, sfDir))
@@ -344,48 +357,44 @@ object Bench {
         catch { case _: Throwable => () }
       }
       val passStart = elapsed
-      val pass1 = onePass(Set.empty, recordLive = true)
+      val pass1 = onePass(Set.empty, recordLive = true, "pass1")
       if (pass1.size == named.size) state.queryPasses = 1
       val pass1Sec = elapsed - passStart
       System.err.println(
         f"[bench] query pass 1 (${pass1.size}/${named.size}) done in $pass1Sec%.1fs at ${elapsed}%.1fs")
-      // Pass 2 takes the per-query min (one bad 30 s host window can put a
-      // query at 9x its quiet time) — but the structural gates (resume,
-      // streaming, clusters: full multi-job pipelines, 15-45 s each) would
-      // blow the budget, so pass 2 re-times only the LIGHT queries; heavy
-      // gates keep their single measurement.
+      // Re-time passes take the per-query min (one bad 30 s host window
+      // can put a query at 9x its quiet time). The HEAVY structural gates
+      // (resume, streaming, clusters: full multi-job pipelines, the most
+      // weather-exposed numbers in the suite) get their min-of-2 slot
+      // FIRST — r4 shipped q_resume at 5.6x canonical because the heavy
+      // re-time sat behind the light polish and got budget-starved. The
+      // light pass-2 polish runs after, with whatever remains.
       val lightCut = 12.0
       val light = pass1.filter(_._2 < lightCut).keySet
       val lightSec = pass1.filter(_._2 < lightCut).values.sum
-      // pass 2 only when the scaling pair is already settled — scaling
-      // retries (phase 3) outrank per-query-min polish
-      if (pass1.size == named.size && light.nonEmpty &&
-          (earlyExit || Seq(1, 4).forall(p =>
-            state.passes.exists(x => x._1 == p && x._5))) &&
-          remaining > lightSec * 1.5 + queryReserve / 2) {
-        val pass2 = onePass(light, recordLive = false)
-        state.synchronized {
-          state.queryTimes = pass1.map { case (k, v) =>
-            k -> math.min(v, pass2.getOrElse(k, v))
-          }
+      val heavySet = pass1.keySet -- light
+      val heavySec = pass1.filter(kv => heavySet.contains(kv._1)).values.sum
+      def mergeMin(p: Map[String, Double]): Unit = state.synchronized {
+        state.queryTimes = state.queryTimes.map { case (k, v) =>
+          k -> math.min(v, p.getOrElse(k, v))
         }
-        state.queryPasses = 2
-        System.err.println(
-          f"[bench] query pass 2 (light, ${light.size} queries) done at ${elapsed}%.1fs")
-        // the heavy structural gates (multi-job pipelines) are the most
-        // weather-exposed measurements in the suite — give them a
-        // min-of-2 as well when the budget clearly allows it
-        val heavySet = pass1.keySet -- light
-        val heavySec = pass1.filter(kv => heavySet.contains(kv._1)).values.sum
-        if (heavySet.nonEmpty && remaining > heavySec * 1.5 + 150) {
-          val pass3 = onePass(heavySet, recordLive = false)
-          state.synchronized {
-            state.queryTimes = state.queryTimes.map { case (k, v) =>
-              k -> math.min(v, pass3.getOrElse(k, v))
-            }
-          }
+      }
+      // re-times only when the scaling pair is already settled — scaling
+      // retries (phase 3) outrank per-query-min polish
+      if (pass1.size == named.size &&
+          (earlyExit || Seq(1, 4).forall(p =>
+            state.passes.exists(x => x._1 == p && x._5)))) {
+        if (heavySet.nonEmpty && remaining > heavySec * 1.5 + queryReserve / 2) {
+          mergeMin(onePass(heavySet, recordLive = false, "heavy_retime"))
+          state.queryPasses = 2
           System.err.println(
             f"[bench] heavy re-time (${heavySet.size} queries) done at ${elapsed}%.1fs")
+        }
+        if (light.nonEmpty && remaining > lightSec * 1.5 + 150) {
+          mergeMin(onePass(light, recordLive = false, "pass2"))
+          state.queryPasses = 2
+          System.err.println(
+            f"[bench] query pass 2 (light, ${light.size} queries) done at ${elapsed}%.1fs")
         }
       }
       spark.stop()
@@ -424,6 +433,7 @@ object Bench {
              headlineEff.exists(e => e > 1.05 || e < 0.8) &&
              remaining > 200) {
         refine += 1
+        state.effRefineAttempts = refine
         val p = if (headlineEff.exists(_ > 1.05)) 1 else 4
         System.err.println(
           f"[bench] refining p=$p (eff=${headlineEff.get}%.3f)")

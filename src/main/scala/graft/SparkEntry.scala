@@ -483,6 +483,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL PNG decode gate (r5): deterministic non-interlaced 8-bit gray
+    // PNGs built per doc_id (chunks + CRC32 + Deflater), decoded by the
+    // pure-JVM chunk-walk + Inflater + scanline-filter parser; the oracle
+    // recomputes the pixel function in closed form (decode inverts the
+    // whole container exactly, so compression cancels out)
+    "q_multimodal_png" -> ((s, dir) => {
+      import s.implicits._
+      val ids = TextOps.docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        graft.operators.MultimodalOps.Media(id, "image",
+          graft.operators.MediaCodecs.encodePng(8, 8, 1,
+            Array.tabulate(64)(i => ((id * 37 + 3 * i) % 256).toInt)),
+          8, 8, 0, "synth")
+      }
+      graft.operators.MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("decoded"), col("dec_width"),
+          col("dec_height"), duckRound(col("brightness"), 6).as("brightness"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio decode gate: deterministic PCM-16 WAV payloads per
     // doc_id, decoded by the pure-JVM RIFF parser; mean-abs level and
     // sample count recomputed in closed form by the oracle
@@ -828,6 +848,12 @@ object SparkEntry {
            8 AS dec_width, 8 AS dec_height,
            round(list_sum(list_transform(range(64),
              i -> (doc_id * 31 + i) % 256)) / 64.0 / 255.0, 6) AS brightness
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_png" ->
+      """SELECT doc_id AS media_id, true AS decoded,
+           8 AS dec_width, 8 AS dec_height,
+           round(list_sum(list_transform(range(64),
+             i -> (doc_id * 37 + 3 * i) % 256)) / 64.0 / 255.0, 6) AS brightness
          FROM documents ORDER BY doc_id""",
     "q_ann_cosine_top1" ->
       """WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id % 50 = 0),

@@ -148,9 +148,19 @@ final class WeightedHeap(val heap: java.util.PriorityQueue[InternalRow],
   * >= maxWeight (it can then never contribute to the prefix). A row's
   * weight is its TRUE array length (ADVICE r3: padding it to 1 overstated
   * the prefix and could evict a row the slice still needed); zero-length
-  * and null arrays contribute nothing to a downstream flatten+slice, so
-  * they are skipped outright — which is also what keeps the buffer
-  * row-count bounded by maxWeight + 1.
+  * and null arrays are skipped outright — which is also what keeps the
+  * buffer row-count bounded by maxWeight + 1.
+  *
+  * Null-array divergence (ADVICE r4): the unbounded
+  * `flatten(sort_array(collect_list(...)))` formulation is NOT equivalent
+  * on null-array inputs — Spark's flatten returns null when ANY element
+  * array is null, so one null-token row would null the whole window's
+  * signal there, while this aggregate skips the row and still computes
+  * features from the remaining rows. The skip is the intended semantic
+  * (a corrupt row must not erase its window at 10^12 scale); callers
+  * comparing against the unbounded formulation must pre-filter null
+  * arrays on that side (as HardeningSpec's equivalence gate does via
+  * rows that carry non-null arrays).
   */
 case class BoundedWeightedCollect(
     child: Expression,

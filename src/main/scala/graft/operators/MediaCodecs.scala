@@ -5,10 +5,12 @@ package graft.operators
   * but netpbm, uncompressed BMP and PCM WAV are plain byte layouts):
   *
   *  - PGM (P5) / PPM (P6): binary netpbm, maxval <= 255
+  *  - PNG: non-interlaced 8-bit gray/RGB (chunk walk + CRC32 + JDK
+  *    Inflater + the five scanline filters)
   *  - BMP: uncompressed 24-bit BI_RGB, bottom-up rows, 4-byte row padding
   *  - WAV: RIFF/WAVE, PCM (format 1), 16-bit little-endian
   *
-  * Compressed formats (JPEG/PNG/MP3/H.264...) remain out of scope — the
+  * Codec-library formats (JPEG/MP3/H.264...) remain out of scope — the
   * pipeline routes unknown magics through the deterministic fallback
   * kernel (MultimodalOps) with a `decoded=false` flag instead of failing
   * the job on a poison blob.
@@ -193,6 +195,180 @@ object MediaCodecs {
       y += 1
     }
     Image(w, h, 3, px)
+  }
+
+  // ---- PNG (non-interlaced 8-bit gray / RGB) ----------------------------
+  // PNG is length-prefixed chunks + DEFLATE (java.util.zip ships in the
+  // JDK) + per-scanline byte filters — no codec library needed for the
+  // common non-interlaced 8-bit gray/truecolor case. Layout per the PNG
+  // spec (RFC 2083): 8-byte signature; chunks of len(4,BE) + type(4) +
+  // data + CRC32(type+data); IHDR w/h/depth/color/interlace; IDAT =
+  // concatenated zlib stream of [filter byte + scanline] rows; IEND.
+
+  private val PngSig: Array[Int] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (0 until 8).forall(i => (bytes(i) & 0xff) == PngSig(i))
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  // decoded raster cap: IHDR dims are attacker-controlled and decoupled
+  // from the compressed payload size (zip bomb), so bound the allocation
+  // explicitly instead of trusting the header
+  private val MaxPngRasterBytes = 1L << 26 // 64 MiB
+
+  /** Encode 8-bit gray (channels=1) or RGB (channels=3) as a minimal
+    * non-interlaced PNG: filter-0 scanlines, one IDAT. */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixels: Array[Int]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels=$channels")
+    require(pixels.length == width * height * channels, "pixel count != w*h*ch")
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val base = y * (stride + 1)
+      raw(base) = 0 // filter: None
+      var i = 0
+      while (i < stride) {
+        raw(base + 1 + i) = (pixels(y * stride + i) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val idat = buf.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def wbe32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      wbe32(data.length)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t, 0, 4); crc.update(data, 0, data.length)
+      wbe32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def pbe32(off: Int, v: Int): Unit = {
+      ihdr(off) = ((v >>> 24) & 0xff).toByte; ihdr(off + 1) = ((v >>> 16) & 0xff).toByte
+      ihdr(off + 2) = ((v >>> 8) & 0xff).toByte; ihdr(off + 3) = (v & 0xff).toByte
+    }
+    pbe32(0, width); pbe32(4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 1) 0 else 2).toByte // gray / truecolor
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate, adaptive, no interlace
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a non-interlaced 8-bit gray/RGB PNG: chunk walk with CRC
+    * verification, single Inflater pass into the exact expected raster
+    * size, then the five scanline filters (None/Sub/Up/Average/Paeth).
+    * Throws IllegalArgumentException on anything malformed, truncated,
+    * oversized, or out of scope (callers degrade to the fallback row). */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(isPng(bytes), "not a PNG payload")
+    var pos = 8
+    var w = -1; var h = -1; var channels = -1
+    var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      // 12L: length is attacker-controlled — Int addition could wrap
+      require(pos + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = be32(bytes, pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"truncated PNG chunk (len=$len at byte $pos)")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(bytes, pos + 8 + len),
+        s"bad CRC in PNG chunk $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          w = be32(bytes, pos + 8); h = be32(bytes, pos + 12)
+          val depth = bytes(pos + 16); val color = bytes(pos + 17)
+          val interlace = bytes(pos + 20)
+          require(depth == 8 && (color == 0 || color == 2) && interlace == 0,
+            s"unsupported PNG depth=$depth color=$color interlace=$interlace")
+          channels = if (color == 0) 1 else 3
+          require(w > 0 && h > 0 &&
+            (w.toLong * channels + 1) * h <= MaxPngRasterBytes,
+            s"PNG dims out of bounds ${w}x$h ch=$channels")
+        case "IDAT" =>
+          require(w > 0, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && idat.size() > 0, "missing IHDR/IDAT")
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    try {
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        // n == 0 with nothing to feed = truncated or dictionary-demanding
+        // stream: fail instead of spinning
+        require(n > 0 || inf.finished(),
+          "truncated or unsupported IDAT stream")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT: ${e.getMessage}")
+    } finally inf.end()
+    require(off == raw.length,
+      s"IDAT inflated to $off bytes, expected ${raw.length}")
+    // unfilter scanlines (recon in place, prior = previous recon row)
+    val px = new Array[Int](w * h * channels)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val filter = raw(base) & 0xff
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val a = if (i >= bpp) px(y * stride + i - bpp) else 0       // left
+        val b = if (y > 0) px((y - 1) * stride + i) else 0          // up
+        val c = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) else 0
+        val recon = filter match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case f => throw new IllegalArgumentException(s"bad PNG filter $f")
+        }
+        px(y * stride + i) = recon & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    Image(w, h, channels, px)
   }
 
   // ---- WAV (RIFF, PCM 16-bit) -------------------------------------------

@@ -9,12 +9,13 @@ import graft.gen.SplitMix64
   * payloads as opaque `binary` columns with typed metadata, processed in
   * partition-sized batches.
   *
-  * r3: the decode step is REAL for the library-free formats —
-  * netpbm P5/P6, uncompressed 24-bit BMP, and PCM-16 WAV are parsed by
-  * MediaCodecs (pure byte layouts, no codec libraries needed) — and the
-  * decoded samples feed the engine's signal kernels (audioSignals).
-  * Compressed containers (JPEG/PNG/MP3/H.264) remain out of scope in
-  * this container; payloads with unknown magic route through the
+  * r3/r5: the decode step is REAL for the JDK-expressible formats —
+  * netpbm P5/P6, non-interlaced 8-bit gray/RGB PNG (chunks + Inflater +
+  * scanline filters), uncompressed 24-bit BMP, and PCM-16 WAV are parsed
+  * by MediaCodecs (pure byte layouts, no codec libraries needed) — and
+  * the decoded samples feed the engine's signal kernels (audioSignals).
+  * Codec-library formats (JPEG/MP3/H.264) remain out of scope in this
+  * container; payloads with unknown magic route through the
   * deterministic byte-level fallback kernel with `decoded = false`
   * instead of failing the job on a poison blob — the documented
   * large-pipeline contract.
@@ -104,6 +105,11 @@ object MultimodalOps {
         try {
           if (MediaCodecs.isNetpbm(m.bytes)) {
             val img = MediaCodecs.decodeNetpbm(m.bytes)
+            MediaFeatures(m.media_id, m.kind, m.bytes.length, checksum,
+              img.meanPixel / 255.0, 1, m.source, decoded = true,
+              img.width, img.height, -1)
+          } else if (MediaCodecs.isPng(m.bytes)) {
+            val img = MediaCodecs.decodePng(m.bytes)
             MediaFeatures(m.media_id, m.kind, m.bytes.length, checksum,
               img.meanPixel / 255.0, 1, m.source, decoded = true,
               img.width, img.height, -1)

@@ -73,7 +73,15 @@ object StreamingRollup {
     * them into the state, O(k log k + m) instead of the r3 full re-sort's
     * O(m log m) per trigger. The bridge walk stays the same sequential
     * O(m) pass (it is the output computation anyway), so the emitted
-    * arithmetic — and the batch equivalence — is bit-identical. */
+    * arithmetic — and the batch equivalence — is bit-identical.
+    *
+    * Hot-window fallback (r5): a window whose boundary-tuple count would
+    * exceed `maxSegs` transitions to overflow mode instead of failing the
+    * job — its segs are dropped, state stays O(1), and every subsequent
+    * emission carries `overflow = true` with the diff-family fields
+    * zeroed. The driver unions those windows back from the batch cascade
+    * (runOnceDiffWithBatchFallback); orderless sums keep accumulating and
+    * stay correct throughout. */
   def diffTier(stream: DataFrame, win: String, watermark: String,
                scale: Double, maxSegs: Int = 1 << 17): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -118,7 +126,8 @@ object StreamingRollup {
           } else {
             var st = state.getOption.getOrElse(St(Vector.empty, 0L,
               0.0, 0.0, 0.0, 0.0, Double.PositiveInfinity,
-              Double.NegativeInfinity, 0.0, 0.0, 0.0, 0L, 0L, 0L))
+              Double.NegativeInfinity, 0.0, 0.0, 0.0, 0L, 0L, 0L,
+              overflowed = false))
             val freshB = Vector.newBuilder[Seg]
             it.foreach { r =>
               freshB += Seg(r.ts, r.doc_id, r.f1, r.f2, r.l1, r.l2,
@@ -133,40 +142,50 @@ object StreamingRollup {
                 rowsIn = st.rowsIn + 1, tokensIn = st.tokensIn + r.rowTokens)
             }
             val fresh = freshB.result()
-            if (st.segs.size + fresh.size > maxSegs)
-              throw new IllegalStateException(
-                s"diffTier window $key exceeds maxSegs=$maxSegs rows; " +
-                  "route hot windows through the batch cascade")
-            // sort only this trigger's arrivals; merge into the sorted state
-            val sorted = mergeSorted(st.segs, fresh.sortBy(s => (s.ts, s.docId)))
-            st = st.copy(segs = sorted)
+            if (st.overflowed || st.segs.size + fresh.size > maxSegs) {
+              // hot window: drop the boundary tuples (state back to O(1))
+              // and flag every emission — the batch cascade owns this
+              // window's diff family from here on
+              st = st.copy(segs = Vector.empty, overflowed = true)
+            } else {
+              // sort only this trigger's arrivals; merge into sorted state
+              st = st.copy(segs =
+                mergeSorted(st.segs, fresh.sortBy(s => (s.ts, s.docId))))
+            }
             state.update(st)
             // evict one watermark past the window end (never behind the
             // current watermark — Spark rejects stale timeout timestamps)
             state.setTimeoutTimestamp(math.max(
               (key._2 * 1000L) + winMillis + wmMillis,
               state.getCurrentWatermarkMs() + 1))
-            // bridge terms over consecutive boundaries — the same algebra
-            // as TokenRollup.mergeToBuckets' lag bridge
-            var sumAbsD = st.accAbsD; var sumDSq = st.accDSq
-            var sumESq = st.accESq; var zc = st.accZc
-            var i = 1
-            while (i < sorted.length) {
-              val a = sorted(i - 1); val b = sorted(i)
-              val d = b.f1 - a.l1
-              sumAbsD += math.abs(d)
-              sumDSq += d * d
-              sumESq += math.pow(d - (a.l1 - a.l2), 2) +
-                math.pow((b.f2 - b.f1) - d, 2)
-              if (b.fSgn == 0 && a.lSgn != 0) zc += 1
-              if (b.fSgn * a.lSgn < 0) zc += 1
-              i += 1
+            if (st.overflowed) {
+              Iterator.single(Out(key._1, key._2, st.n, st.s1, st.s2, st.s3,
+                st.s4, st.mn, st.mx, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L,
+                0, 0, st.rowsIn, st.tokensIn, overflow = true))
+            } else {
+              val sorted = st.segs
+              // bridge terms over consecutive boundaries — the same algebra
+              // as TokenRollup.mergeToBuckets' lag bridge
+              var sumAbsD = st.accAbsD; var sumDSq = st.accDSq
+              var sumESq = st.accESq; var zc = st.accZc
+              var i = 1
+              while (i < sorted.length) {
+                val a = sorted(i - 1); val b = sorted(i)
+                val d = b.f1 - a.l1
+                sumAbsD += math.abs(d)
+                sumDSq += d * d
+                sumESq += math.pow(d - (a.l1 - a.l2), 2) +
+                  math.pow((b.f2 - b.f1) - d, 2)
+                if (b.fSgn == 0 && a.lSgn != 0) zc += 1
+                if (b.fSgn * a.lSgn < 0) zc += 1
+                i += 1
+              }
+              val h = sorted.head; val l = sorted.last
+              Iterator.single(Out(key._1, key._2, st.n, st.s1, st.s2, st.s3,
+                st.s4, st.mn, st.mx, sumAbsD, sumDSq, sumESq,
+                h.f1, h.f2, l.l1, l.l2, zc, h.fSgn, l.lSgn,
+                st.rowsIn, st.tokensIn, overflow = false))
             }
-            val h = sorted.head; val l = sorted.last
-            Iterator.single(Out(key._1, key._2, st.n, st.s1, st.s2, st.s3,
-              st.s4, st.mn, st.mx, sumAbsD, sumDSq, sumESq,
-              h.f1, h.f2, l.l1, l.l2, zc, h.fSgn, l.lSgn,
-              st.rowsIn, st.tokensIn))
           }
         })
       .toDF()
@@ -196,11 +215,11 @@ object StreamingRollup {
   /** Bounded-source synchronous run of the diff tier; emissions are
     * deduplicated to the final (max rows_in) state per key. */
   def runOnceDiff(spark: SparkSession, sourceDir: String, win: String,
-                  watermark: String, scale: Double,
-                  queryName: String): DataFrame = {
+                  watermark: String, scale: Double, queryName: String,
+                  maxSegs: Int = 1 << 17): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = diffTier(stream, win, watermark, scale)
+    val q = diffTier(stream, win, watermark, scale, maxSegs)
       .writeStream.outputMode("update")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
@@ -213,6 +232,34 @@ object StreamingRollup {
       .select(col("source") +: col("bucketS") +:
         outCols.map(c => col(s"o.$c").as(c)): _*)
   }
+
+  /** Diff tier with automatic hot-window batch fallback: windows the
+    * stateful operator flagged as overflowed are recomputed by the batch
+    * cascade over the same source and unioned back — the streamed subset
+    * and the batch subset carry the identical state algebra, so the
+    * combined frame equals an all-batch run. The overflowed-key set is
+    * tiny by construction (only windows hotter than maxSegs), hence the
+    * broadcast semi-join. */
+  def runOnceDiffWithBatchFallback(spark: SparkSession, sourceDir: String,
+                                   win: String, watermark: String,
+                                   scale: Double, queryName: String,
+                                   maxSegs: Int = 1 << 17): DataFrame = {
+    val streamed =
+      runOnceDiff(spark, sourceDir, win, watermark, scale, queryName, maxSegs)
+    val ok = streamed.where(!col("overflow")).drop("overflow")
+    val overKeys = streamed.where(col("overflow"))
+      .select(col("source"), col("bucketS"))
+    if (overKeys.isEmpty) return ok
+    val src = spark.read.parquet(sourceDir)
+    val batch = graft.engine.TokenRollup
+      .mergeToBuckets(graft.engine.TokenRollup.rowStates(src, scale), win,
+        Seq("event_time", "doc_id"))
+      .select(Seq(col("source"), unix_timestamp(col("bucket")).as("bucketS")) ++
+        graft.engine.TokenRollup.StateFields.map(f => col(s"P.$f").as(f)) ++
+        Seq(col("rows_in"), col("tokens_in")): _*)
+    ok.unionByName(
+      batch.join(broadcast(overKeys), Seq("source", "bucketS")))
+  }
 }
 
 /** Typed rows for the stateful diff tier. */
@@ -222,7 +269,8 @@ object StreamingDiff {
   final case class St(segs: Vector[Seg], n: Long, s1: Double, s2: Double,
                       s3: Double, s4: Double, mn: Double, mx: Double,
                       accAbsD: Double, accDSq: Double, accESq: Double,
-                      accZc: Long, rowsIn: Long, tokensIn: Long)
+                      accZc: Long, rowsIn: Long, tokensIn: Long,
+                      overflowed: Boolean)
   final case class In(source: String, bucketS: Long, ts: Long,
                       doc_id: String, event_time: java.sql.Timestamp,
                       n: Long, s1: Double, s2: Double,
@@ -235,5 +283,5 @@ object StreamingDiff {
                        mx: Double, sumAbsD: Double, sumDSq: Double,
                        sumESq: Double, f1: Double, f2: Double, l1: Double,
                        l2: Double, zc: Long, fSgn: Int, lSgn: Int,
-                       rows_in: Long, tokens_in: Long)
+                       rows_in: Long, tokens_in: Long, overflow: Boolean)
 }

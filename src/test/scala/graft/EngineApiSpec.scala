@@ -193,6 +193,51 @@ class EngineApiSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-window overflow auto-falls back to the batch cascade: " +
+    "combined output equals an all-batch run, overflow actually fired") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sover").toString
+    val scale = 1.0 / (1 << 24)
+    TokenGen.bulk(spark, 300, nSources = 3, minLen = 64, maxLen = 256)
+      .write.mode("overwrite").parquet(dir)
+    // maxSegs = 2: windows holding 3+ rows (a solid minority at this density)
+    // engage — verify it actually did via a raw flagged run first
+    val flagged = graft.streaming.StreamingRollup
+      .runOnceDiff(spark, dir, "1 hour", "10 minutes", scale,
+        "stream_overflow_raw", maxSegs = 2)
+    assert(flagged.where(col("overflow")).count() > 0,
+      "test setup: no window overflowed at maxSegs=2")
+    assert(flagged.where(!col("overflow")).count() > 0,
+      "test setup: every window overflowed; cold path untested")
+
+    val combined = graft.streaming.StreamingRollup
+      .runOnceDiffWithBatchFallback(spark, dir, "1 hour", "10 minutes",
+        scale, "stream_overflow", maxSegs = 2)
+      .select(col("source"), col("bucketS"), col("sumAbsD"), col("sumDSq"),
+        col("sumESq"), col("zc"), col("n"), col("rows_in"))
+    val states = graft.engine.TokenRollup.rowStates(spark.read.parquet(dir), scale)
+    val batch = graft.engine.TokenRollup.mergeToBuckets(states, "1 hour",
+      Seq("event_time", "doc_id"))
+      .select(col("source"), unix_timestamp(col("bucket")).as("bucketS"),
+        col("P.sumAbsD").as("sumAbsD"), col("P.sumDSq").as("sumDSq"),
+        col("P.sumESq").as("sumESq"), col("P.zc").as("zc"),
+        col("P.n").as("n"), col("rows_in"))
+    val a = combined.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, ra) =>
+      val rb = b(k)
+      for (i <- 2 until 5) {
+        val va = ra.getDouble(i); val vb = rb.getDouble(i)
+        assert(math.abs(va - vb) <= 1e-9 * math.max(1.0, math.abs(vb)),
+          s"$k col $i: combined $va vs batch $vb")
+      }
+      assert(ra.getLong(5) == rb.getLong(5), s"$k zc")
+      assert(ra.getLong(6) == rb.getLong(6), s"$k n")
+      assert(ra.getLong(7) == rb.getLong(7), s"$k rows_in")
+    }
+  }
+
   test("StreamingRollup.mergeSorted: order-preserving two-pointer merge " +
     "(ties keep existing-first, strict (ts, docId) key)") {
     import graft.streaming.StreamingDiff.Seg

@@ -103,6 +103,92 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ent.agg(avg("e")).head.getDouble(0) < 5.0)
   }
 
+  test("PNG codec: gray/RGB roundtrip, all five scanline filters decoded, " +
+    "poison PNGs (bad CRC, truncated IDAT, zip-bomb dims) degrade safely") {
+    import graft.operators.MediaCodecs
+    // roundtrip through our own encoder (filter-0, single IDAT)
+    val gray = Array.tabulate(8 * 8)(i => (i * 31) % 256)
+    val g2 = MediaCodecs.decodePng(MediaCodecs.encodePng(8, 8, 1, gray))
+    assert(g2.width == 8 && g2.height == 8 && g2.channels == 1)
+    assert(g2.pixels.sameElements(gray))
+    val rgb = Array.tabulate(5 * 3 * 3)(i => (i * 7 + 13) % 256)
+    val c2 = MediaCodecs.decodePng(MediaCodecs.encodePng(5, 3, 3, rgb))
+    assert(c2.channels == 3 && c2.pixels.sameElements(rgb))
+
+    // hand-filter a 4x5 gray image with every filter type (one per row)
+    // and deflate it directly — exercises Sub/Up/Average/Paeth recon
+    val w = 4; val h = 5
+    val px = Array.tabulate(w * h)(i => (i * 53 + 11) % 256)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = px(y * w + x)
+        val a = if (x > 0) px(y * w + x - 1) else 0
+        val b = if (y > 0) px((y - 1) * w + x) else 0
+        val c = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (w + 1) + 1 + x) = (filtered & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) bos.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    // splice the hand-filtered IDAT into an encoder-produced container
+    val container = MediaCodecs.encodePng(w, h, 1, new Array[Int](w * h))
+    def be32(v: Int) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes, 0, 4); crc.update(data, 0, data.length)
+      be32(data.length) ++ typ.getBytes ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdrEnd = 8 + 12 + 13 // sig + IHDR chunk
+    val handPng = container.take(ihdrEnd) ++
+      chunk("IDAT", bos.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val dec = MediaCodecs.decodePng(handPng)
+    assert(dec.pixels.sameElements(px),
+      "all-filter scanlines must reconstruct exactly")
+
+    // poison variants degrade via IllegalArgumentException
+    val good = MediaCodecs.encodePng(8, 8, 1, gray)
+    val badCrc = good.clone(); badCrc(badCrc.length - 5) = 0x55.toByte
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(badCrc))
+    // IHDR declaring 65535x65535 with a VALID CRC: must die on the
+    // raster cap, not the checksum
+    val bombIhdr = good.slice(16, 29)
+    System.arraycopy(be32(65535), 0, bombIhdr, 0, 4)
+    System.arraycopy(be32(65535), 0, bombIhdr, 4, 4)
+    val bomb = good.take(8) ++ chunk("IHDR", bombIhdr) ++ good.drop(ihdrEnd)
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(bomb))
+    val truncated = good.take(good.length - 20)
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(truncated))
+    // and through the pipeline they land on the fallback row
+    import spark.implicits._
+    import graft.operators.MultimodalOps.Media
+    val out = MultimodalOps.extractFeatures(Seq(
+      Media(1L, "image", good, -1, -1, -1, "s"),
+      Media(2L, "image", badCrc, -1, -1, -1, "s")).toDS()).collect()
+    assert(out.find(_.media_id == 1L).get.decoded &&
+      out.find(_.media_id == 1L).get.dec_width == 8)
+    assert(!out.find(_.media_id == 2L).get.decoded)
+  }
+
   test("poison payloads degrade to the fallback row, never fail the job " +
     "(crafted magic bytes driving decoder index/alloc paths)") {
     import spark.implicits._
