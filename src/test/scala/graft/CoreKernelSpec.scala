@@ -167,6 +167,32 @@ class CoreKernelSpec extends AnyFunSuite {
     val tot = dataSin.map(v => v * v).sum
     assert(out(0) > 0.98 * tot, s"band energy ${out(0)} vs total $tot")
   }
+  test("FFT overlap-add zero-phase == direct convolution to FFT rounding " +
+    "(the long-signal scale path; short epochs stay on the direct path)") {
+    val rng = new graft.gen.SplitMix64(17L)
+    for ((n, sf, lo, hi) <- Seq((20000, 256.0, 0.5, 4.0),  // 1691 taps
+                                (8192, 256.0, 8.0, 13.0),  // shorter taps
+                                (3000, 512.0, 1.0, 40.0))) {
+      val x = Array.fill(n)(rng.nextGaussian())
+      val h = Firwin.designCached(sf, lo, hi)
+      val direct = Firwin.applyZeroPhase(x, h)
+      val fft = Firwin.applyZeroPhaseFft(x, h)
+      assert(fft.length == direct.length)
+      var worst = 0.0
+      var i = 0
+      while (i < n) {
+        worst = math.max(worst,
+          math.abs(fft(i) - direct(i)) / math.max(1.0, math.abs(direct(i))))
+        i += 1
+      }
+      assert(worst < 1e-9, s"n=$n band=($lo,$hi): worst rel diff $worst")
+    }
+    // dispatch: the gate regime (short epochs) stays strictly direct
+    assert(!Firwin.useFftPath(512, 1691))
+    assert(!Firwin.useFftPath(88, 1691))
+    assert(Firwin.useFftPath(20000, 1691))
+  }
+
   test("svd_entropy / fisher positive on noise (:617-622)") {
     val rng = new graft.gen.SplitMix64(3L)
     val x = Array.fill(512)(rng.nextGaussian())
