@@ -197,9 +197,11 @@ object Bench {
     val total = state.queryTimes.values.sum
     val notesJson = state.notes.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     // headline_clean: false when cleanOrAll had to fall back to
-    // interference-flagged passes for either headline level
-    val headlineClean = (!haveScaling) ||
-      (level(1).exists(_._5) && level(4).exists(_._5))
+    // interference-flagged passes for either headline level; null when
+    // there is no scaling headline to qualify at all
+    val headlineClean =
+      if (!haveScaling) "null"
+      else (level(1).exists(_._5) && level(4).exists(_._5)).toString
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${state.sfDir}",""" +
         s""""query_passes":${state.queryPasses},""" +
@@ -319,7 +321,7 @@ object Bench {
       // LAST so a truncated/watchdogged pass still carries the bulk of
       // the suite's evidence
       val heavy = Set("q_resume_equivalence", "q_streaming_equivalence",
-        "q_dedup_clusters")
+        "q_dedup_clusters", "q_retention")
       val named = SparkEntry.queries.toSeq
         .sortBy { case (n, _) => (heavy.contains(n), n) }
       // Each finished query lands in watchdog-visible state IMMEDIATELY

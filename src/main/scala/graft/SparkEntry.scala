@@ -216,9 +216,12 @@ object SparkEntry {
       val out = graft.streaming.StreamingRollup.runOnce(s, src, "1 hour",
         "1 minute", 1.0, "graft_stream_gate_" + tag)
       // diff-family (line_length) from the STATEFUL streaming path: the
-      // boundary bridge under incremental processing, exact vs the oracle
-      val diff = graft.streaming.StreamingRollup.runOnceDiff(s, src, "1 hour",
-        "1 minute", 1.0, "graft_stream_diff_" + tag)
+      // boundary bridge under incremental processing, exact vs the oracle.
+      // The fallback wrapper, not bare runOnceDiff: if a window ever
+      // overflows maxSegs here, its diff family must come from the batch
+      // cascade rather than silently emitting the zeroed overflow row
+      val diff = graft.streaming.StreamingRollup.runOnceDiffWithBatchFallback(
+        s, src, "1 hour", "1 minute", 1.0, "graft_stream_diff_" + tag)
         .select(col("source"), col("bucketS"),
           ((col("sumAbsD") / (col("n") - 1)) / 100.0).as("line_length"))
       out.select(col("source"),

@@ -136,13 +136,25 @@ object RollupJob {
         case (a, b) => a.orElse(b)
       }
     }
-    // retention: every tier has committed every day by here, so expiring
-    // a fine tier can never starve a coarser tier's cascade. Expired days
-    // stay in doneBuckets — a later resume will not recompute them.
+    // Retention. The cascade above guarantees coarser coverage only for
+    // days in THIS run's input — doneBuckets can hold older days whose
+    // coarser commits crashed in a previous run and whose data never
+    // reappeared in an input since. Expiring such a day would vacuum the
+    // only source a future 1d repair could cascade from (silent loss), so
+    // the cutoff is clamped to the coarser tiers' covered prefix: a fine
+    // day expires only when every coarser tier (features AND chunks) has
+    // it committed.
     conf.retention.foreach { case (tierName, horizon) =>
       val days = io.doneBuckets(tierName)
+      val coarser = conf.tiers.map(_._1).dropWhile(_ != tierName).drop(1)
       if (days.nonEmpty) {
-        val cutoff = days.max - horizon
+        val covered = coarser.foldLeft(days) { (acc, t) =>
+          acc.intersect(io.doneBuckets(t))
+            .intersect(io.doneBuckets(s"$t-chunks"))
+        }
+        val uncovered = days.diff(covered)
+        val cutoff = math.min(days.max - horizon,
+          uncovered.minOption.getOrElse(Long.MaxValue))
         io.expire(tierName, cutoff)
         io.expire(s"$tierName-chunks", cutoff)
       }

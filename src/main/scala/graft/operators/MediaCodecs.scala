@@ -217,8 +217,13 @@ object MediaCodecs {
 
   // decoded raster cap: IHDR dims are attacker-controlled and decoupled
   // from the compressed payload size (zip bomb), so bound the allocation
-  // explicitly instead of trusting the header
-  private val MaxPngRasterBytes = 1L << 26 // 64 MiB
+  // explicitly instead of trusting the header. The cap bounds the
+  // FILTERED buffer; total decode allocation is ~6x it (raw buffer +
+  // 4-byte-int pixel array + inflate input copy), so 16 MiB caps a
+  // poison row at ~100 MiB instead of letting an in-cap header drive an
+  // uncatchable OutOfMemoryError (NonFatal does not catch OOM — the
+  // poison-blob contract must fail the REQUIRE, not the allocator).
+  private val MaxPngRasterBytes = 1L << 24 // 16 MiB filtered bytes
 
   /** Encode 8-bit gray (channels=1) or RGB (channels=3) as a minimal
     * non-interlaced PNG: filter-0 scanlines, one IDAT. */

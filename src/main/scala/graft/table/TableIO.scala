@@ -163,14 +163,17 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
     var upTo = 0L
     if (Files.exists(checkpointFile)) {
       import scala.jdk.CollectionConverters._
+      // dispatch on line PREFIXES (we write every line with a fixed field
+      // order) — a contains() probe would let a jobId/tier STRING such as
+      // "doneTier" masquerade as a structural line and brick the table
       Files.readAllLines(checkpointFile, StandardCharsets.UTF_8)
         .asScala.filter(_.nonEmpty).foreach { l =>
-          if (l.contains("\"checkpoint\":true")) {
+          if (l.startsWith("{\"checkpoint\":true")) {
             upTo = reqField(l, "upTo").toLong
             maxId = reqField(l, "maxId").toLong
-          } else if (l.contains("\"cutoffTier\"")) {
+          } else if (l.startsWith("{\"cutoffTier\":")) {
             cutoffs += reqField(l, "cutoffTier") -> reqField(l, "cutoff").toLong
-          } else if (l.contains("\"doneTier\"")) {
+          } else if (l.startsWith("{\"doneTier\":")) {
             val t = reqField(l, "doneTier")
             done += t -> (done.getOrElse(t, Set.empty) ++
               parseBuckets(reqField(l, "buckets")))
@@ -200,7 +203,7 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
         new String(buf.array(), StandardCharsets.UTF_8).split("\n", -1)
           .filter(_.nonEmpty).foreach { l =>
             if (!l.endsWith("}")) () // torn tail — never committed
-            else if (l.contains("\"tombstone\":true")) {
+            else if (l.startsWith("{\"tombstone\":true")) {
               val t = reqField(l, "tier")
               val c = reqField(l, "cutoff").toLong
               cutoffs += t -> math.max(cutoffs.getOrElse(t, Long.MinValue), c)
@@ -295,8 +298,8 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
     * Crash-safe: tmp + fsync + ATOMIC_MOVE — a torn write leaves the old
     * checkpoint, whose smaller `upTo` just means a longer tail parse. */
   private def writeCheckpointLocked(st: LogState): Unit = {
-    vacuumLocked(st)
     val kept = keptBuckets(st)
+    vacuumLocked(st, kept)
     val (live, dead) = st.snaps.partition(s => kept(s.id).nonEmpty)
     val doneAll = dead.foldLeft(st.doneCompact) { (m, s) =>
       m.updated(s.tier, m.getOrElse(s.tier, Set.empty) ++ s.buckets)
@@ -329,8 +332,9 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
   /** Delete data directories no reader can ever see again (every declared
     * bucket superseded or expired). Idempotent — re-run reclaims orphans
     * left by a crash between tombstone append and delete. */
-  private def vacuumLocked(st: LogState): Unit = {
-    val kept = keptBuckets(st)
+  private def vacuumLocked(st: LogState,
+                           kept0: Map[Long, Seq[Long]] = null): Unit = {
+    val kept = if (kept0 != null) kept0 else keptBuckets(st)
     st.snaps.filter(s => s.dir.nonEmpty && kept(s.id).isEmpty).foreach { s =>
       val dir = Paths.get(root, s.dir)
       if (Files.exists(dir)) deleteRec(dir)

@@ -25,19 +25,10 @@ object VerifyOne {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[verify-one] dumped $name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      graft.Verify.oracleJson(
+        graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))))
     spark.stop()
   }
 }
