@@ -318,6 +318,31 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardLsh(TextOps.docs(s, dir), 0.2)
         .orderBy("doc_a", "doc_b")),
+    // cardinality sketch: per-type distinct users through the mergeable
+    // HLL++ aggregate (functions/SketchAggs.scala). Gate-scale groups sit
+    // in the sparse-exact regime (<= 4096 distinct), so the oracle is
+    // count(DISTINCT); at 100 TB the same plan ships 16 KiB register
+    // blocks per group instead of a distinct-set shuffle.
+    "q_distinct_hll" -> ((s, dir) =>
+      centsEvents(s, dir).groupBy(col("event_type"))
+        .agg(graft.functions.hll_distinct(xxhash64(col("user_id")))
+          .as("n_users"))
+        .orderBy("event_type")),
+    // vocabulary heavy hitters: Misra-Gries summary with capacity 64 at
+    // every stage — the corpus vocabulary (31 words) sits under capacity,
+    // so err_bound = 0 certifies the counts exact and the oracle is a
+    // plain frequency top-10; at 100 TB the same plan keeps O(64) state
+    // per partition instead of shuffling the token stream
+    "q_tok_heavy_hitters" -> ((s, dir) =>
+      TextOps.docs(s, dir)
+        .select(explode(split(trim(lower(col("text"))), " ")).as("w"))
+        .agg(graft.functions.mg_topk(col("w"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"),
+          col("e.est_count").as("est_count"),
+          col("e.err_bound").as("err_bound"))
+        .orderBy(desc("est_count"), asc("item"))
+        .limit(10)),
     // welch PSD path (the reference's default psd_method)
     "q_spect_entropy_welch" -> ((s, dir) =>
       sig(s, dir).select(col("user_id"),
@@ -781,6 +806,17 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
            min(doc_id) AS keep_doc_id
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    // sparse-exact HLL regime: the sketch answer IS the true distinct count
+    "q_distinct_hll" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // under-capacity Misra-Gries: counts exact, err_bound 0 by certificate
+    "q_tok_heavy_hitters" ->
+      """SELECT w AS item, CAST(count(*) AS BIGINT) AS est_count,
+           0::BIGINT AS err_bound
+         FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+               FROM documents)
+         GROUP BY 1 ORDER BY est_count DESC, item LIMIT 10""",
     "q_codec_roundtrip" ->
       """WITH g AS (SELECT event_type, list(value ORDER BY ts, event_id) AS l,
                     list(floor(epoch(ts))::BIGINT ORDER BY ts, event_id) AS t

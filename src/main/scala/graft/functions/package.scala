@@ -66,6 +66,18 @@ package object functions {
     col(BoundedWeightedCollect(expr(c), maxWeight, weightField)
       .toAggregateExpression())
 
+  /** HLL++ distinct count over a PRE-HASHED long column (pass
+    * `xxhash64(col)` so hashing stays codegen'd): exact while any group's
+    * distinct count fits `sparseMax`, 2^p-byte dense registers beyond
+    * (see HllDistinct). */
+  def hll_distinct(hashed: Column, sparseMax: Int = 4096, p: Int = 14): Column =
+    col(HllDistinct(expr(hashed), sparseMax, p).toAggregateExpression())
+
+  /** Misra-Gries heavy hitters with <= capacity counters at every stage;
+    * rows carry an err_bound exactness certificate (see MisraGriesTopK). */
+  def mg_topk(c: Column, capacity: Int): Column =
+    col(MisraGriesTopK(expr(c), capacity).toAggregateExpression())
+
   /** Mergeable per-row partial state (see TokenPartialsExpr). */
   def token_partials(tokens: Column, scale: Double = 1.0): Column =
     col(TokenPartialsExpr(expr(tokens), scale))
