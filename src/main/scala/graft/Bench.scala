@@ -321,7 +321,8 @@ object Bench {
       // LAST so a truncated/watchdogged pass still carries the bulk of
       // the suite's evidence
       val heavy = Set("q_resume_equivalence", "q_streaming_equivalence",
-        "q_dedup_clusters", "q_retention")
+        "q_dedup_clusters", "q_retention", "q_table_range_read",
+        "q_dedup_streaming")
       val named = SparkEntry.queries.toSeq
         .sortBy { case (n, _) => (heavy.contains(n), n) }
       // Each finished query lands in watchdog-visible state IMMEDIATELY

@@ -318,6 +318,27 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardLsh(TextOps.docs(s, dir), 0.2)
         .orderBy("doc_a", "doc_b")),
+    // streaming exact dedup: the batch keeper/count contract maintained
+    // incrementally by flatMapGroupsWithState, driven through SEVERAL
+    // micro-batches (maxFilesPerTrigger over a range-partitioned source
+    // with synthesized duplicates) — the final view must hash-match the
+    // one-shot batch oracle whatever the batch split was
+    "q_dedup_streaming" -> ((s, dir) => {
+      val src = "/tmp/graft_stream_dedup_gate"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(src))
+      val base = TextOps.docs(s, dir).select(col("doc_id"), col("text"))
+      val dups = base.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      base.unionByName(dups).repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(src)
+      graft.streaming.StreamingDedup.runOnce(s, src,
+        "graft_stream_dedup_" + System.nanoTime())
+        .orderBy("text_hash")
+    }),
     // cardinality sketch: per-type distinct users through the mergeable
     // HLL++ aggregate (functions/SketchAggs.scala). Gate-scale groups sit
     // in the sparse-exact regime (<= 4096 distinct), so the oracle is
@@ -473,6 +494,36 @@ object SparkEntry {
         .orderBy("event_type", "bucket_s")
     }),
 
+    // Manifest-pruned range read: the table is built in three 10-day
+    // resume steps (three snapshots), then a middle 10-day slice is read
+    // through TableIO.readRange — the manifest acts as the zone map, so
+    // only the snapshots serving the range are opened (the third is never
+    // listed; RollupEngineSpec pins that via inputFiles). The oracle
+    // recomputes the 1h aggregate restricted to the same day range.
+    "q_table_range_read" -> ((s, dir) => {
+      val root = "/tmp/graft_range_gate"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(root))
+      val tok = centsTokens(s, dir)
+      val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
+        tiers = Seq("1h" -> "1 hour"), jobId = "range-gate")
+      val dayCol = unix_timestamp(date_trunc("day", col("event_time")))
+      val d0 = tok.select(dayCol.as("d")).agg(min(col("d")))
+        .collect()(0).getLong(0)
+      graft.engine.RollupJob.run(s, tok.where(dayCol < d0 + 10 * 86400L), conf)
+      graft.engine.RollupJob.run(s, tok.where(dayCol < d0 + 20 * 86400L), conf)
+      graft.engine.RollupJob.run(s, tok, conf)
+      val feats = new graft.table.TableIO(root)
+        .readRange(s, "1h", d0 + 9 * 86400L, d0 + 19 * 86400L).get
+      feats.select(col("source").as("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_s"),
+        col("n_samples").cast("long").as("n"),
+        (col("mean") / 100.0).as("mean"))
+        .orderBy("event_type", "bucket_s")
+    }),
     // Multimodal pipeline gate: document payloads as opaque binary media,
     // batch feature extraction through the real mapPartitions plumbing
     // (schema + partition-batch iteration); the decode kernel is the
@@ -567,7 +618,14 @@ object SparkEntry {
         .orderBy("query_id", "rk")),
     "q_embed_near_dup" -> ((s, dir) =>
       DedupOps.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+    // int8-quantized brute-force top-1: the 4x-memory scale path for the
+    // embedding corpus; quantized values are exact small integers, so the
+    // whole ranking is bit-mirrorable in SQL (see AnnOps.quantizeInt8)
+    "q_ann_int8_top1" -> ((s, dir) =>
+      AnnOps.quantizedTopK(AnnOps.embeddings(s, dir), 1, 50)
+        .select(col("query_id"), col("nn_id"), col("cos_sim"))
+        .orderBy("query_id"))
   )
 
   // ---- DuckDB oracles (developed & validated in tools/oracles.py) --------
@@ -806,6 +864,16 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
            min(doc_id) AS keep_doc_id
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    // the streaming dedup's final view vs the one-shot batch recompute
+    // over the same dup-injected corpus
+    "q_dedup_streaming" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents
+                    WHERE doc_id % 7 = 0)
+         SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_seen
+         FROM d GROUP BY 1 ORDER BY 1""",
     // sparse-exact HLL regime: the sketch answer IS the true distinct count
     "q_distinct_hll" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -855,6 +923,23 @@ object SparkEntry {
          FROM c, mx WHERE gn >= 2
            AND (epoch(b)::BIGINT // 86400) * 86400 >= cutoff
          GROUP BY 1, 2, cutoff ORDER BY 1, 2""",
+    // middle-slice recompute: the 1h aggregate restricted to day buckets
+    // in [d0+9d, d0+19d) where d0 is the first event day
+    "q_table_range_read" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c,
+                    count(*) OVER (PARTITION BY event_type,
+                      time_bucket(INTERVAL 10 MINUTE, ts)) AS gn
+              FROM events),
+         mn AS (SELECT (min(floor(epoch(ts))::BIGINT) // 86400) * 86400 AS d0
+                  FROM events)
+         SELECT event_type, epoch(b)::BIGINT AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean
+         FROM c, mn WHERE gn >= 2
+           AND (epoch(b)::BIGINT // 86400) * 86400 >= d0 + 9 * 86400
+           AND (epoch(b)::BIGINT // 86400) * 86400 < d0 + 19 * 86400
+         GROUP BY 1, 2, d0 ORDER BY 1, 2""",
     // same direct-aggregate truth, reached through the streaming tier
     "q_streaming_equivalence" ->
       """WITH c AS (SELECT event_type, ts, event_id,
@@ -900,6 +985,28 @@ object SparkEntry {
            SELECT q.vec_id AS query_id, e.vec_id AS nn_id,
                   list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, nn_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk
+           FROM sims WHERE NOT isnan(sim))
+         SELECT query_id, nn_id, round(sim, 5) AS cos_sim FROM ranked WHERE rk = 1
+         ORDER BY query_id""",
+    // int8 mirror: same quantizer arithmetic (max|x|/127 scale,
+    // floor(x/s + 0.5)) in SQL; quantized ints are exact in doubles, so
+    // the cosine matches the engine bit-for-bit at 5 digits
+    "q_ann_int8_top1" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+             FROM embeddings),
+         qz AS (SELECT vec_id,
+               CASE WHEN s > 0 THEN list_transform(v, x -> floor(x / s + 0.5)) END AS qv
+             FROM e),
+         q AS (SELECT vec_id, qv AS qe FROM qz
+               WHERE vec_id % 50 = 0 AND qv IS NOT NULL),
+         sims AS (
+           SELECT q.vec_id AS query_id, z.vec_id AS nn_id,
+                  list_cosine_similarity(q.qe, z.qv) AS sim
+           FROM q JOIN qz z ON z.vec_id <> q.vec_id AND z.qv IS NOT NULL),
          ranked AS (
            SELECT query_id, nn_id, sim,
                   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id) AS rk

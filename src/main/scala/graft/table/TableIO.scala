@@ -430,12 +430,27 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
   /** Read a tier through the manifest: union of committed snapshot dirs,
     * last-commit-wins per (bucket, key row) via snapshot precedence,
     * retention-expired buckets excluded. */
-  def read(spark: SparkSession, tier: String): Option[DataFrame] = {
+  def read(spark: SparkSession, tier: String): Option[DataFrame] =
+    readRange(spark, tier, Long.MinValue, Long.MaxValue)
+
+  /** Range read with MANIFEST-level pruning: only snapshots serving a
+    * surviving bucket in `[fromBucket, untilBucket)` (commit-bucket epoch
+    * seconds) are opened at all — the manifest is the zone map, so a
+    * 10-day slice of a years-deep table lists and scans just those days'
+    * snapshot dirs instead of every commit ever made. Within a surviving
+    * snapshot the bucket predicate lands on the parquet scan for
+    * row-group skipping. Visibility rules (last-commit-wins, retention
+    * cutoffs) are identical to the full read — same keptBuckets
+    * resolution, filtered to the range. */
+  def readRange(spark: SparkSession, tier: String, fromBucket: Long,
+                untilBucket: Long): Option[DataFrame] = {
     val st = synchronized { readLog() }
     val snaps = st.snaps.filter(_.tier == tier).sortBy(_.id)
     if (snaps.isEmpty) return None
-    val kept = keptBuckets(st)
+    val kept0 = keptBuckets(st)
     // skip snapshots serving nothing — their dir may already be vacuumed
+    val kept = snaps.map(s => s.id -> kept0(s.id)
+      .filter(b => b >= fromBucket && b < untilBucket)).toMap
     val dfs = snaps.filter(s => s.dir.nonEmpty && kept(s.id).nonEmpty).map { s =>
       val df = spark.read.parquet(Paths.get(root, s.dir).toString)
       // ALWAYS filter to the surviving winning buckets — skipping the

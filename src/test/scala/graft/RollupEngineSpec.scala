@@ -199,6 +199,41 @@ class RollupEngineSpec extends AnyFunSuite {
     assert(io.doneBuckets("f") == done + day(9))
   }
 
+  test("range read: manifest-level snapshot pruning, visibility rules " +
+    "identical to the full read") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles}
+    val root = JFiles.createTempDirectory("graft_range").toString
+    val io = new TableIO(root, checkpointEvery = 100)
+    def df(b: Long, v: Double) =
+      Seq(("s1", b, v)).toDF("source", "commit_bucket", "value")
+    def day(i: Int) = i * 86400L
+    // one snapshot per day 0..5, plus a day-2 re-commit (last wins)
+    (0 until 6).foreach(i => io.commit("f", df(day(i), i.toDouble), Seq(day(i)), "j"))
+    io.commit("f", df(day(2), 42.0), Seq(day(2)), "j2")
+    val slice = io.readRange(spark, "f", day(1), day(4)).get
+    val rows = slice.select("commit_bucket", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // last-commit-wins inside the range, range bounds [from, until)
+    assert(rows == Seq((day(1), 1.0), (day(2), 42.0), (day(3), 3.0)))
+    // the manifest IS the zone map: out-of-range snapshot dirs are never
+    // opened — day 0/4/5 files and the superseded day-2 original must not
+    // appear in the scan's file list
+    val files = slice.inputFiles.toSet
+    val allFiles = io.read(spark, "f").get.inputFiles.toSet
+    assert(files.subsetOf(allFiles) && files.size < allFiles.size)
+    assert(!files.exists(_.contains("snap-1")), "day-0 snapshot opened")
+    assert(!files.exists(_.contains("snap-5")), "day-4 snapshot opened")
+    assert(!files.exists(_.contains("snap-6")), "day-5 snapshot opened")
+    assert(!files.exists(_.contains("snap-3")), "superseded day-2 opened")
+    assert(files.exists(_.contains("snap-7")), "winning day-2 missing")
+    // expired buckets stay invisible through the range read too
+    io.expire("f", day(2))
+    val afterExpiry = io.readRange(spark, "f", day(1), day(4)).get
+      .select("commit_bucket").collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterExpiry == Seq(day(2), day(3)))
+  }
+
   test("retention expiry: tombstone hides + vacuum deletes expired " +
     "buckets; expired stays done; orphan dir reclaimed; cutoff monotone") {
     import spark.implicits._
