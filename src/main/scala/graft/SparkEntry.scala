@@ -318,6 +318,41 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardLsh(TextOps.docs(s, dir), 0.2)
         .orderBy("doc_a", "doc_b")),
+    // sketch-in-streaming-state: the HLL++ aggregate running inside a
+    // watermarked tumbling-window streaming aggregation — its binary
+    // buffer must round-trip through the state store and still land in
+    // the sparse-exact regime, so the oracle is a per-(type, day)
+    // count(DISTINCT) recompute
+    "q_streaming_distinct" -> ((s, dir) => {
+      val src = "/tmp/graft_stream_hll_gate"
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(del)
+        f.delete()
+      }
+      del(new java.io.File(src))
+      // stage into a directory (the file stream source rejects bare
+      // files); watermarks require TIMESTAMP — the NTZ cast is the
+      // identity instant under the UTC session
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).parquet(src)
+      val agg = stream.withWatermark("ts", "1 hour")
+        .groupBy(col("event_type"), window(col("ts"), "1 day")("start").as("day"))
+        .agg(graft.functions.hll_distinct(xxhash64(col("user_id")))
+          .as("n_users"))
+      val name = "graft_stream_hll_" + System.nanoTime()
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("event_type"),
+        unix_timestamp(col("day")).as("day_s"), col("n_users"))
+        .orderBy("event_type", "day_s")
+    }),
     // streaming exact dedup: the batch keeper/count contract maintained
     // incrementally by flatMapGroupsWithState, driven through SEVERAL
     // micro-batches (maxFilesPerTrigger over a range-partitioned source
@@ -349,6 +384,24 @@ object SparkEntry {
         .agg(graft.functions.hll_distinct(xxhash64(col("user_id")))
           .as("n_users"))
         .orderBy("event_type")),
+    // quantile sketch: per-type value quantiles through the deterministic
+    // dyadic-collapse histogram. Gate-scale groups hold < 4096 distinct
+    // cents, so level stays 0 and the sketch interpolation IS
+    // quantile_cont (bin_width = 1 is the exactness certificate); beyond
+    // capacity the state stays bounded and every estimate is within one
+    // bin width
+    "q_quantile_sketch" -> ((s, dir) => {
+      val qs = graft.functions.dyadic_quantiles(col("c"), 4096,
+        Seq(0.25, 0.5, 0.75, 0.95))
+      centsEvents(s, dir).groupBy(col("event_type")).agg(qs.as("qd"))
+        .select(col("event_type"),
+          duckRound(element_at(col("qd.quantiles"), 1) / 100.0, 6).as("p25"),
+          duckRound(element_at(col("qd.quantiles"), 2) / 100.0, 6).as("p50"),
+          duckRound(element_at(col("qd.quantiles"), 3) / 100.0, 6).as("p75"),
+          duckRound(element_at(col("qd.quantiles"), 4) / 100.0, 6).as("p95"),
+          col("qd.bin_width").as("bin_width"))
+        .orderBy("event_type")
+    }),
     // vocabulary heavy hitters: Misra-Gries summary with capacity 64 at
     // every stage — the corpus vocabulary (31 words) sits under capacity,
     // so err_bound = 0 certifies the counts exact and the oracle is a
@@ -864,6 +917,12 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_count,
            min(doc_id) AS keep_doc_id
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    // streaming windowed HLL vs batch distinct recompute (UTC-epoch days)
+    "q_streaming_distinct" ->
+      """SELECT event_type,
+           (floor(epoch(ts))::BIGINT // 86400) * 86400 AS day_s,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // the streaming dedup's final view vs the one-shot batch recompute
     // over the same dup-injected corpus
     "q_dedup_streaming" ->
@@ -878,6 +937,17 @@ object SparkEntry {
     "q_distinct_hll" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    // level-0 dyadic sketch = exact quantile_cont over the cents multiset
+    "q_quantile_sketch" ->
+      """WITH c AS (SELECT event_type,
+                    CAST(round(value * 100, 0) AS BIGINT) AS c FROM events)
+         SELECT event_type,
+           round(quantile_cont(c, 0.25::DOUBLE) / 100.0, 6) AS p25,
+           round(quantile_cont(c, 0.5::DOUBLE) / 100.0, 6) AS p50,
+           round(quantile_cont(c, 0.75::DOUBLE) / 100.0, 6) AS p75,
+           round(quantile_cont(c, 0.95::DOUBLE) / 100.0, 6) AS p95,
+           1::BIGINT AS bin_width
+         FROM c GROUP BY 1 ORDER BY 1""",
     // under-capacity Misra-Gries: counts exact, err_bound 0 by certificate
     "q_tok_heavy_hitters" ->
       """SELECT w AS item, CAST(count(*) AS BIGINT) AS est_count,

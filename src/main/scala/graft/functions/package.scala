@@ -78,6 +78,12 @@ package object functions {
   def mg_topk(c: Column, capacity: Int): Column =
     col(MisraGriesTopK(expr(c), capacity).toAggregateExpression())
 
+  /** Deterministic mergeable quantiles over integer-quantized values:
+    * dyadic-collapse histogram, exact (bin_width = 1) while distinct
+    * values fit capacity (see DyadicQuantiles). */
+  def dyadic_quantiles(c: Column, capacity: Int, qs: Seq[Double]): Column =
+    col(DyadicQuantiles(expr(c), capacity, qs).toAggregateExpression())
+
   /** Mergeable per-row partial state (see TokenPartialsExpr). */
   def token_partials(tokens: Column, scale: Double = 1.0): Column =
     col(TokenPartialsExpr(expr(tokens), scale))

@@ -102,6 +102,57 @@ class SketchSpec extends AnyFunSuite {
     assert(2000 > n / 17)
   }
 
+  test("dyadic quantiles exact regime: bit-equal to duckdb-style " +
+    "interpolation over the sorted multiset, bin_width 1") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vals = Seq.fill(5000)((rng.nextInt(6000) - 3000).toLong)
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    def truth(q: Double): Double = {
+      val s = vals.sorted.map(_.toDouble)
+      val idx = q * (s.length - 1).toDouble
+      val lo = math.floor(idx)
+      val f = idx - lo
+      val a = s(lo.toInt); val b = s(math.min(lo.toInt + 1, s.length - 1))
+      a * (1.0 - f) + b * f
+    }
+    for (parts <- Seq(1, 4, 9)) {
+      val row = vals.toDF("v").repartition(parts)
+        .agg(graft.functions.dyadic_quantiles(col("v"), 8192, qs).as("q"))
+        .select("q.quantiles", "q.bin_width").collect()(0)
+      val got = row.getSeq[Double](0)
+      assert(row.getLong(1) == 1L, "exact regime must certify bin_width 1")
+      qs.indices.foreach(i => assert(got(i) == truth(qs(i)),
+        s"parts=$parts q=${qs(i)}: ${got(i)} != ${truth(qs(i))}"))
+    }
+  }
+
+  test("dyadic quantiles over capacity: bounded bins, error <= bin_width, " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    // 100k distinct values, capacity 256 -> forced coarsening
+    val vals = (0 until 100000).map(i => ((i * 2654435761L) % 100000))
+    val qs = Seq(0.25, 0.5, 0.75)
+    def run(parts: Int) = vals.toDF("v").repartition(parts)
+      .agg(graft.functions.dyadic_quantiles(col("v"), 256, qs).as("q"))
+      .select("q.quantiles", "q.bin_width").collect()(0)
+    val r1 = run(3); val r2 = run(8)
+    val width = r1.getLong(1)
+    assert(width > 1L && width <= (100000L / 256L + 1L) * 4L,
+      s"width $width out of expected range")
+    // deterministic: the collapse level depends only on the value SET
+    assert(r1.getSeq[Double](0) == r2.getSeq[Double](0) &&
+      r1.getLong(1) == r2.getLong(1))
+    // one-bin-width error bound vs the exact quantile
+    val sorted = vals.sorted.map(_.toDouble)
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val idx = q * (sorted.length - 1).toDouble
+      val truth = sorted(math.floor(idx).toInt)
+      assert(math.abs(r1.getSeq[Double](0)(i) - truth) <= width.toDouble,
+        s"q=$q est=${r1.getSeq[Double](0)(i)} truth=$truth width=$width")
+    }
+  }
+
   test("sketch plan: partial aggregates before the exchange, no raw-value shuffle") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i % 3, s"w${i % 40}")).toDF("g", "w")
