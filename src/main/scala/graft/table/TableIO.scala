@@ -462,6 +462,40 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
     if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
   }
 
+  /** Bin-pack a tier's live snapshots into one: the small-file
+    * maintenance op. A long-lived table accretes one snapshot per
+    * incremental run — hundreds of small parquet files whose per-file
+    * open/footer cost eventually dominates reads. compact() rewrites the
+    * tier's current VISIBLE rows as a single snapshot committed over all
+    * surviving buckets; every older snapshot becomes fully superseded,
+    * vacuum reclaims its directory, and the next checkpoint drops it from
+    * the manifest (its buckets fold into the compact done-sets, so resume
+    * still recomputes nothing). Readers are never wrong mid-compaction:
+    * the new snapshot only wins after its manifest append, and
+    * last-commit-wins resolution is row-for-row what read() already
+    * served. Returns None when the tier has nothing to compact. */
+  def compact(spark: SparkSession, tier: String, jobId: String = "compact",
+              partitionBy: Seq[String] = Seq("source")): Option[Snapshot] = {
+    val current = read(spark, tier)
+    current.map { df =>
+      val buckets = synchronized {
+        val st = readLog()
+        val kept = keptBuckets(st)
+        st.snaps.filter(_.tier == tier)
+          .flatMap(s => kept(s.id)).distinct.sorted
+      }
+      // the packing itself: co-locate each output partition's rows so the
+      // rewrite emits one file per partition value instead of carrying
+      // the union-read's fan-out into the new snapshot
+      val packed =
+        if (partitionBy.isEmpty) df.coalesce(1)
+        else df.repartition(partitionBy.map(col): _*)
+      val snap = commit(tier, packed, buckets, jobId, partitionBy)
+      vacuum()
+      snap
+    }
+  }
+
   /** Read a compressed chunk tier back as per-point rows: DoD-decoded
     * bucket timestamps zipped with every Gorilla-decoded feature series,
     * exploded. The scan + decode + explode are all native expressions

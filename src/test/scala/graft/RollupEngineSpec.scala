@@ -234,6 +234,45 @@ class RollupEngineSpec extends AnyFunSuite {
     assert(afterExpiry == Seq(day(2), day(3)))
   }
 
+  test("compaction: many small snapshots bin-packed into one; results, " +
+    "done-buckets and resume unchanged; old dirs reclaimed") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JFiles.createTempDirectory("graft_compact").toString
+    val io = new TableIO(root, checkpointEvery = 100)
+    def df(b: Long, v: Double) =
+      Seq(("s1", b, v), ("s2", b, v + 0.5)).toDF("source", "commit_bucket", "value")
+    def day(i: Int) = i * 86400L
+    (0 until 8).foreach(i => io.commit("f", df(day(i), i.toDouble), Seq(day(i)), "j"))
+    io.commit("f", df(day(2), 42.0), Seq(day(2)), "j2") // last-wins rewrite
+    def dump() = io.read(spark, "f").get
+      .select("source", "commit_bucket", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = dump()
+    val filesBefore = io.read(spark, "f").get.inputFiles.length
+    val doneBefore = io.doneBuckets("f")
+
+    val snap = io.compact(spark, "f").get
+    assert(snap.buckets == (0 until 8).map(day))
+
+    assert(dump() == before, "compaction changed visible rows")
+    assert(io.doneBuckets("f") == doneBefore, "compaction changed done set")
+    // the read now resolves through the single packed snapshot
+    val files = io.read(spark, "f").get.inputFiles
+    assert(files.forall(_.contains(s"snap-${snap.id}")),
+      "read still touches pre-compaction snapshots")
+    assert(files.length < filesBefore)
+    // superseded dirs are physically reclaimed
+    (1 to 9).foreach(id => assert(
+      !JFiles.exists(JPaths.get(root, "data", "f", s"snap-$id")),
+      s"snap-$id survived compaction"))
+    // resume semantics: nothing recomputes after compaction
+    assert(io.doneBuckets("f") == (0 until 8).map(day).toSet)
+    // a later incremental commit still lands normally
+    io.commit("f", df(day(8), 8.0), Seq(day(8)), "j3")
+    assert(dump().size == before.size + 2)
+  }
+
   test("retention expiry: tombstone hides + vacuum deletes expired " +
     "buckets; expired stays done; orphan dir reclaimed; cutoff monotone") {
     import spark.implicits._
