@@ -59,6 +59,58 @@ object CosineSimExpr {
   }
 }
 
+/** Symmetric int8 quantization of a double vector: scale = max|x|/127,
+  * elements floor(x/scale + 0.5), kept as exact small integers in doubles
+  * so downstream cosine arithmetic stays bit-mirrorable in SQL. Returns
+  * null for zero vectors (scale 0) — they drop out of ranking like the
+  * float path's zero-norm NaN filter. One pass for the scale, one for the
+  * elements; the Column-HOF formulation of the same arithmetic re-inlines
+  * the scale subexpression into the lambda, recomputing the O(dim)
+  * array_max PER ELEMENT (measured ~3x the whole query's runtime). */
+case class QuantizeInt8Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.TypeShims.AbstractDataType] =
+    Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quantize_int8"
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeInt8Expr.kernel(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.QuantizeInt8Expr.kernel($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object QuantizeInt8Expr {
+  /** Static kernel: null for the zero vector, else the quantized copy. */
+  def kernel(a: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    var mx = 0.0
+    var i = 0
+    while (i < x.length) {
+      val ab = math.abs(x(i))
+      if (ab > mx) mx = ab
+      i += 1
+    }
+    val s = mx / 127.0
+    if (s == 0.0) return null
+    val q = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) {
+      q(i) = math.floor(x(i) / s + 0.5)
+      i += 1
+    }
+    new GenericArrayData(q)
+  }
+}
+
 /** Random-hyperplane LSH band signatures: for each band b, an integer whose
   * bit j is sign(v . plane[b*bitsPerBand + j]). One pass over the planes,
   * vector loaded once. Planes are constructor constants so the expression

@@ -198,19 +198,16 @@ object AnnOps {
       .where(!isnan(col("sim"))) // see bruteForceTopK: NaN = zero-norm vector
   }
 
-  /** Symmetric int8 quantization: per-vector scale max|x|/127, elements
-    * floor(x/s + 0.5) — kept as exact small integers in doubles so the
-    * downstream cosine arithmetic (dot <= dim * 127^2) is
-    * exactly-representable and the DuckDB mirror reproduces it bit-for-bit.
-    * Zero vectors (s = 0) quantize to NULL and drop out of ranking, same
-    * as the zero-norm NaN filter on the float path. At 100 TB this is the
-    * memory lever: 8-bit codes cut the resident corpus 4x against float32
-    * (8x against the double working set) with ranking quality preserved,
-    * and the quantized codes are what a PQ/IVF index would store. */
-  def quantizeInt8(v: Column): Column = {
-    val s = array_max(transform(v, x => abs(x))) / lit(127.0)
-    when(s > 0, transform(v, x => floor(x / s + lit(0.5))))
-  }
+  /** Symmetric int8 quantization (single-pass codegen'd kernel — see
+    * functions.QuantizeInt8Expr for the arithmetic contract): the memory
+    * lever at 100 TB — 8-bit codes cut the resident corpus 4x against
+    * float32 with ranking quality preserved, and the quantized codes are
+    * what a PQ/IVF index would store. Zero vectors quantize to NULL and
+    * drop out of ranking, same as the float path's zero-norm NaN filter. */
+  def quantizeInt8(v: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.QuantizeInt8Expr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v)))
 
   /** Brute-force top-k over int8-quantized vectors: identical plan shape
     * to bruteForceTopK (broadcast queries, map-side bounded heap) with

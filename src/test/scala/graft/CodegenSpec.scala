@@ -120,4 +120,21 @@ class CodegenSpec extends AnyFunSuite {
     assert(gen.size == interp.size && gen.nonEmpty)
     gen.zip(interp).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("QuantizeInt8Expr: codegen == interpreted incl. zero-vector null") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .unionByName(Seq((-1L, Array.fill(64)(0.0)), (-2L, null))
+        .toDF("vec_id", "v"))
+    def sel = emb.select(col("vec_id"),
+      graft.operators.AnnOps.quantizeInt8(col("v")).as("qv"))
+    val (gen, interp) = bothModes(sel)
+    assert(gen.size == interp.size && gen.nonEmpty)
+    gen.zip(interp).foreach { case (a, b) => assert(a == b) }
+    // zero and null vectors both quantize to null
+    val nulls = sel.where(col("qv").isNull).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(nulls == Seq(-2L, -1L))
+  }
 }
