@@ -322,7 +322,7 @@ object Bench {
       // the suite's evidence
       val heavy = Set("q_resume_equivalence", "q_streaming_equivalence",
         "q_dedup_clusters", "q_retention", "q_table_range_read",
-        "q_dedup_streaming")
+        "q_dedup_streaming", "q_streaming_distinct")
       val named = SparkEntry.queries.toSeq
         .sortBy { case (n, _) => (heavy.contains(n), n) }
       // Each finished query lands in watchdog-visible state IMMEDIATELY

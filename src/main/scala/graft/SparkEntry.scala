@@ -83,6 +83,13 @@ object SparkEntry {
       .select(col("user_id"), duckRound(f(name)(col("signal")), digits).as(outCol))
       .orderBy("user_id")
 
+  // gate queries stage scratch tables under /tmp — one shared recursive
+  // delete instead of a copy per query
+  private def del(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(del)
+    f.delete()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mean" -> scalarQ("mean", "mean"),
     "q_variance" -> scalarQ("variance", "variance"),
@@ -195,10 +202,6 @@ object SparkEntry {
     // ScalaTest-gated.
     "q_streaming_equivalence" -> ((s, dir) => {
       val src = "/tmp/graft_stream_gate"
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
       del(new java.io.File(src))
       val ev = centsEvents(s, dir)
       ev.groupBy(col("event_type").as("source"),
@@ -325,23 +328,27 @@ object SparkEntry {
     // count(DISTINCT) recompute
     "q_streaming_distinct" -> ((s, dir) => {
       val src = "/tmp/graft_stream_hll_gate"
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
       del(new java.io.File(src))
       // stage into a directory (the file stream source rejects bare
-      // files); watermarks require TIMESTAMP — the NTZ cast is the
-      // identity instant under the UTC session
+      // files); window() requires TIMESTAMP — the NTZ cast is the
+      // identity instant under the UTC session. 8 staged files +
+      // maxFilesPerTrigger=2 force SEVERAL micro-batches so the sketch
+      // buffer genuinely round-trips the state store between triggers
+      // (one batch would compute the only output before the first
+      // serialize). No watermark: complete mode keeps all state, and a
+      // watermark would make out-of-order arrivals across batches a
+      // late-row drop hazard.
       s.read.parquet(s"$dir/events.parquet")
         .select(col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"))
+        .repartition(8)
         .write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema).parquet(src)
-      val agg = stream.withWatermark("ts", "1 hour")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+      val agg = stream
         .groupBy(col("event_type"), window(col("ts"), "1 day")("start").as("day"))
-        .agg(graft.functions.hll_distinct(xxhash64(col("user_id")))
+        .agg(graft.functions.hll_distinct(graft.functions.null_safe_hash64(col("user_id")))
           .as("n_users"))
       val name = "graft_stream_hll_" + System.nanoTime()
       val q = agg.writeStream.outputMode("complete")
@@ -360,10 +367,6 @@ object SparkEntry {
     // one-shot batch oracle whatever the batch split was
     "q_dedup_streaming" -> ((s, dir) => {
       val src = "/tmp/graft_stream_dedup_gate"
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
       del(new java.io.File(src))
       val base = TextOps.docs(s, dir).select(col("doc_id"), col("text"))
       val dups = base.where(pmod(col("doc_id"), lit(7)) === 0)
@@ -381,7 +384,7 @@ object SparkEntry {
     // blocks per group instead of a distinct-set shuffle.
     "q_distinct_hll" -> ((s, dir) =>
       centsEvents(s, dir).groupBy(col("event_type"))
-        .agg(graft.functions.hll_distinct(xxhash64(col("user_id")))
+        .agg(graft.functions.hll_distinct(graft.functions.null_safe_hash64(col("user_id")))
           .as("n_users"))
         .orderBy("event_type")),
     // quantile sketch: per-type value quantiles through the deterministic
@@ -496,10 +499,6 @@ object SparkEntry {
     // the mergeable-state cascade end to end.
     "q_resume_equivalence" -> ((s, dir) => {
       val root = "/tmp/graft_resume_gate"
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
       del(new java.io.File(root))
       val tok = centsTokens(s, dir)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
@@ -527,10 +526,6 @@ object SparkEntry {
     // events.
     "q_retention" -> ((s, dir) => {
       val root = "/tmp/graft_retention_gate"
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
       del(new java.io.File(root))
       val tok = centsTokens(s, dir)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
@@ -555,10 +550,6 @@ object SparkEntry {
     // recomputes the 1h aggregate restricted to the same day range.
     "q_table_range_read" -> ((s, dir) => {
       val root = "/tmp/graft_range_gate"
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del)
-        f.delete()
-      }
       del(new java.io.File(root))
       val tok = centsTokens(s, dir)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,

@@ -110,7 +110,14 @@ case class HllDistinct(
   override def eval(buf: HllBuffer): Any =
     if (buf.sparse != null) buf.sparse.size.toLong
     else {
-      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      // the asymptotic 0.7213/(1+1.079/m) only holds for m >= 128; the
+      // published small-m constants avoid a ~2-7% high bias at p in 4..6
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / m)
+      }
       var sum = 0.0
       var zeros = 0
       var i = 0

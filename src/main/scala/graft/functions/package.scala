@@ -66,10 +66,21 @@ package object functions {
     col(BoundedWeightedCollect(expr(c), maxWeight, weightField)
       .toAggregateExpression())
 
+  /** Null-preserving xxhash64: Spark's `xxhash64` is non-nullable — a
+    * NULL input hashes to the bare seed (42), which would make every NULL
+    * count as one extra distinct value downstream. This wrapper keeps
+    * NULL as NULL so `hll_distinct`'s null-skip matches
+    * `count(DISTINCT c)` semantics. */
+  def null_safe_hash64(c: Column): Column =
+    org.apache.spark.sql.functions.when(c.isNotNull,
+      org.apache.spark.sql.functions.xxhash64(c))
+
   /** HLL++ distinct count over a PRE-HASHED long column (pass
-    * `xxhash64(col)` so hashing stays codegen'd): exact while any group's
-    * distinct count fits `sparseMax`, 2^p-byte dense registers beyond
-    * (see HllDistinct). */
+    * `null_safe_hash64(col)` so hashing stays codegen'd AND NULLs stay
+    * excluded like count(DISTINCT); bare `xxhash64` hashes NULL to the
+    * seed and would count it): exact while any group's distinct count
+    * fits `sparseMax`, 2^p-byte dense registers beyond (see
+    * HllDistinct). */
   def hll_distinct(hashed: Column, sparseMax: Int = 4096, p: Int = 14): Column =
     col(HllDistinct(expr(hashed), sparseMax, p).toAggregateExpression())
 

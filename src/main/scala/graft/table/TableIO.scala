@@ -281,15 +281,26 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
     * lock. Same-JVM: a process-wide monitor keyed on the canonical root,
     * acquired FIRST, because `FileChannel.lock` throws
     * OverlappingFileLockException (instead of blocking) when any channel
-    * in this JVM already holds the file's lock. */
+    * in this JVM already holds the file's lock. Re-entrant per thread
+    * (tracked by canonical root), so a multi-step maintenance op like
+    * compact() can hold the lock across resolve→rewrite→commit→vacuum
+    * while the inner steps still guard themselves when called directly. */
   private def withCommitLock[T](body: => T): T =
     TableIO.rootMonitor(root).synchronized {
-      val ch = java.nio.channels.FileChannel.open(metaDir.resolve("commit.lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try body finally lock.release()
-      } finally ch.close()
+      val key = Paths.get(root).toAbsolutePath.normalize.toString
+      if (TableIO.heldLocks.get.contains(key)) body
+      else {
+        val ch = java.nio.channels.FileChannel.open(metaDir.resolve("commit.lock"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          TableIO.heldLocks.get.add(key)
+          try body finally {
+            TableIO.heldLocks.get.remove(key)
+            lock.release()
+          }
+        } finally ch.close()
+      }
     }
 
   /** Atomically replace the checkpoint with the resolved state of the log
@@ -475,26 +486,37 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
     * last-commit-wins resolution is row-for-row what read() already
     * served. Returns None when the tier has nothing to compact. */
   def compact(spark: SparkSession, tier: String, jobId: String = "compact",
-              partitionBy: Seq[String] = Seq("source")): Option[Snapshot] = {
-    val current = read(spark, tier)
-    current.map { df =>
-      val buckets = synchronized {
-        val st = readLog()
-        val kept = keptBuckets(st)
-        st.snaps.filter(_.tier == tier)
-          .flatMap(s => kept(s.id)).distinct.sorted
+              partitionBy: Seq[String] = Seq("source")): Option[Snapshot] =
+    // The WHOLE resolve→rewrite→commit→vacuum window holds the commit
+    // lock (re-entrantly shared with the inner commit/vacuum): resolving
+    // the visible state outside it would let a concurrent commit land
+    // between the snapshot-plan read and the compact commit — the compact
+    // snapshot's higher id would then shadow that commit's rows under
+    // last-commit-wins and vacuum would reclaim its directory, silently
+    // losing committed data. Lock-hold length equals an ordinary
+    // commit's (which also holds it across its Spark write).
+    synchronized {
+      Files.createDirectories(metaDir)
+      withCommitLock {
+        read(spark, tier).map { df =>
+          val buckets = {
+            val st = readLog()
+            val kept = keptBuckets(st)
+            st.snaps.filter(_.tier == tier)
+              .flatMap(s => kept(s.id)).distinct.sorted
+          }
+          // the packing itself: co-locate each output partition's rows so
+          // the rewrite emits one file per partition value instead of
+          // carrying the union-read's fan-out into the new snapshot
+          val packed =
+            if (partitionBy.isEmpty) df.coalesce(1)
+            else df.repartition(partitionBy.map(col): _*)
+          val snap = commit(tier, packed, buckets, jobId, partitionBy)
+          vacuum()
+          snap
+        }
       }
-      // the packing itself: co-locate each output partition's rows so the
-      // rewrite emits one file per partition value instead of carrying
-      // the union-read's fan-out into the new snapshot
-      val packed =
-        if (partitionBy.isEmpty) df.coalesce(1)
-        else df.repartition(partitionBy.map(col): _*)
-      val snap = commit(tier, packed, buckets, jobId, partitionBy)
-      vacuum()
-      snap
     }
-  }
 
   /** Read a compressed chunk tier back as per-point rows: DoD-decoded
     * bucket timestamps zipped with every Gorilla-decoded feature series,
@@ -550,4 +572,9 @@ object TableIO {
   private def rootMonitor(root: String): Object =
     rootMonitors.computeIfAbsent(
       Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
+  // canonical roots whose commit file-lock the CURRENT thread holds —
+  // only read/written while the root's monitor is held
+  private val heldLocks =
+    ThreadLocal.withInitial[java.util.HashSet[String]](() =>
+      new java.util.HashSet[String]())
 }

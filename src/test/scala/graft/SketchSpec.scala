@@ -165,4 +165,20 @@ class SketchSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_mg_topk"),
       "mg must partially aggregate map-side")
   }
+
+  test("hll NULL semantics: null_safe_hash64 matches count(DISTINCT); " +
+    "bare xxhash64 would count NULL as a value") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), None, Some("a"), None)
+      .toDF("k")
+    val viaNullSafe = df
+      .agg(hll_distinct(graft.functions.null_safe_hash64(col("k"))).as("d"))
+      .collect()(0).getLong(0)
+    val exact = df.agg(countDistinct(col("k"))).collect()(0).getLong(0)
+    assert(viaNullSafe == exact && exact == 2L)
+    // the hazard this guards against: xxhash64(NULL) = seed, a distinct value
+    val viaBare = df.agg(hll_distinct(xxhash64(col("k"))).as("d"))
+      .collect()(0).getLong(0)
+    assert(viaBare == 3L)
+  }
 }
