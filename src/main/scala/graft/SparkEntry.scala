@@ -500,7 +500,12 @@ object SparkEntry {
     "q_resume_equivalence" -> ((s, dir) => {
       val root = "/tmp/graft_resume_gate"
       del(new java.io.File(root))
+      // stage the token table ONCE for the multi-step backfill: both jobs
+      // (and their day-list actions) re-evaluate `tok`, and centsTokens is
+      // a full groupBy+collect shuffle per evaluation — the same persist a
+      // real resumed backfill would hold across its steps
       val tok = centsTokens(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
         tiers = Seq("1h" -> "1 hour"), jobId = "resume-gate")
       val dayCol = unix_timestamp(date_trunc("day", col("event_time")))
@@ -508,6 +513,7 @@ object SparkEntry {
         .collect()(0).getLong(0)
       graft.engine.RollupJob.run(s, tok.where(dayCol === firstDay), conf)
       graft.engine.RollupJob.run(s, tok, conf) // resume: remaining days only
+      tok.unpersist(false)
       val feats = new graft.table.TableIO(root).read(s, "1h").get
       feats.select(col("source").as("event_type"),
         unix_timestamp(col("bucket")).as("bucket_s"),
@@ -527,13 +533,15 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => {
       val root = "/tmp/graft_retention_gate"
       del(new java.io.File(root))
-      val tok = centsTokens(s, dir)
+      val tok = centsTokens(s, dir) // staged once across both runs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
         tiers = Seq("1h" -> "1 hour", "1d" -> "1 day"),
         jobId = "retention-gate", retention = Map("1h" -> 14L * 86400L),
         manifestCheckpointEvery = 2)
       graft.engine.RollupJob.run(s, tok, conf)
       graft.engine.RollupJob.run(s, tok, conf.copy(jobId = "retention-gate-2"))
+      tok.unpersist(false)
       val feats = new graft.table.TableIO(root).read(s, "1h").get
       feats.select(col("source").as("event_type"),
         unix_timestamp(col("bucket")).as("bucket_s"),
@@ -551,7 +559,8 @@ object SparkEntry {
     "q_table_range_read" -> ((s, dir) => {
       val root = "/tmp/graft_range_gate"
       del(new java.io.File(root))
-      val tok = centsTokens(s, dir)
+      val tok = centsTokens(s, dir) // staged once across all three steps
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val conf = graft.engine.RollupJob.Conf(tableRoot = root, scale = 1.0,
         tiers = Seq("1h" -> "1 hour"), jobId = "range-gate")
       val dayCol = unix_timestamp(date_trunc("day", col("event_time")))
@@ -560,6 +569,7 @@ object SparkEntry {
       graft.engine.RollupJob.run(s, tok.where(dayCol < d0 + 10 * 86400L), conf)
       graft.engine.RollupJob.run(s, tok.where(dayCol < d0 + 20 * 86400L), conf)
       graft.engine.RollupJob.run(s, tok, conf)
+      tok.unpersist(false)
       val feats = new graft.table.TableIO(root)
         .readRange(s, "1h", d0 + 9 * 86400L, d0 + 19 * 86400L).get
       feats.select(col("source").as("event_type"),
