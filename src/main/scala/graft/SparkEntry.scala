@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{feature, duckRound, FeatureParams}
-import graft.operators.{AnnOps, DedupOps, SignalOps, TextOps}
+import graft.operators.{AnnOps, DedupOps, PipelineOps, SignalOps, TextOps}
 import graft.engine.Rollup
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -321,6 +321,26 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardLsh(TextOps.docs(s, dir), 0.2)
         .orderBy("doc_a", "doc_b")),
+    // training-set assembly: concat-then-chunk packing into 512-token
+    // bins per source (oracle recomputes the window arithmetic)
+    "q_pack_sequences" -> ((s, dir) =>
+      PipelineOps.packSequences(TextOps.docs(s, dir), 512)
+        .orderBy("source", "bin")),
+    // decontamination: held-out set = doc_id % 97 == 0; training docs
+    // sharing any word-3-gram shingle with it are flagged with the
+    // distinct shared-shingle count (oracle recomputes via the same
+    // mirrored shingle-hash pipeline as the dedup gates)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = TextOps.docs(s, dir)
+      PipelineOps.decontaminate(
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        d.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy("doc_id")
+    }),
+    // deterministic content-keyed train/val/test split (80/10/10 by
+    // fingerprint mod 100 — exact dups can't straddle the boundary)
+    "q_split_hash" -> ((s, dir) =>
+      PipelineOps.splitAssign(TextOps.docs(s, dir)).orderBy("doc_id")),
     // sketch-in-streaming-state: the HLL++ aggregate running inside a
     // watermarked tumbling-window streaming aggregation — its binary
     // buffer must round-trip through the state store and still land in
@@ -873,6 +893,20 @@ object SparkEntry {
                  ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END, 6) AS mean_lin,
            CASE WHEN mean IS NULL THEN 1 ELSE 0 END AS filled
          FROM w ORDER BY 1, 2""",
+    // concat-then-chunk packing: bin = floor(tokens-before-me / 512)
+    // per source in doc_id order — pure window arithmetic, recomputed
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+        c AS (SELECT doc_id, source, n_tok,
+          coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        SELECT source, CAST(cb // 512 AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_doc_token_count" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,

@@ -151,6 +151,43 @@ SELECT doc_id, min(label) AS cluster_id,
   doc_id = min(label) AS keep
 FROM r GROUP BY doc_id ORDER BY doc_id"""
 
+    # content-keyed split: full fingerprint pipeline, bucket = fp % 100
+    o["q_split_hash"] = f"""
+WITH w0 AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+  ws AS (SELECT doc_id, ws FROM w0),
+  {HASH_STAGES.strip().lstrip()},
+  f5 AS (SELECT doc_id, list_transform(wh, h ->
+           CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN (((h - {M}) % 2147483629) + 2147483629) % 2147483629
+                ELSE h % 2147483629 END) AS wp FROM f4),
+  fp AS (SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, wp),
+           (h, x) -> (h * 131 + x) % 2147483629)::BIGINT AS fingerprint
+         FROM f5)
+SELECT doc_id, fingerprint % 100 AS bucket,
+  CASE WHEN fingerprint % 100 < 80 THEN 'train'
+       WHEN fingerprint % 100 < 90 THEN 'val' ELSE 'test' END AS split
+FROM fp ORDER BY doc_id"""
+
+    # decontamination: same shingle-hash pipeline as the dedup gates;
+    # held-out set = doc_id % 97 = 0, training docs LEFT-JOIN their
+    # distinct shared-shingle counts
+    o["q_decontaminate"] = f"""
+WITH {GRAMS.strip().lstrip()},
+  {HASH_STAGES.strip().lstrip()},
+  sh AS (SELECT doc_id, list_distinct(wh) AS sh FROM f4),
+  test_sh AS (SELECT DISTINCT u.h AS h
+              FROM sh, unnest(sh.sh) AS u(h) WHERE doc_id % 97 = 0),
+  tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+  hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM tr, unnest(tr.sh) AS u(h)
+           WHERE u.h IN (SELECT h FROM test_sh)
+           GROUP BY tr.doc_id)
+SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+  h.doc_id IS NOT NULL AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
     o["q_dedup_ngram_jaccard"] = f"""
 WITH {GRAMS.strip().lstrip()},
   {HASH_STAGES.strip().lstrip()},
