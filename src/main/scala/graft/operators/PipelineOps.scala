@@ -31,9 +31,12 @@ object PipelineOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("n_tok")).over(w), lit(0L))
-          / lit(budgetTokens.toLong)))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // integral `div`, not floor(double division): long/long in Spark
+      // casts through double, whose 53-bit mantissa would diverge from
+      // the oracle's exact `//` once a source's cumulative tokens pass
+      // 2^53 — `div` keeps the arithmetic in longs at any scale
+      .withColumn("bin", expr(s"cum_before div ${budgetTokens}L"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

@@ -70,10 +70,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._3)) ==
       Seq((1L, true), (2L, false), (3L, false)))
     assert(out.head._2 >= 1L)
-    val plan = PipelineOps.decontaminate(train, test)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "held-out shingle set must broadcast (the 100 TB posture)")
+    // disable auto-broadcast so only the explicit broadcast() hint can
+    // produce a BroadcastHashJoin — with the default 10 MB threshold the
+    // tiny test relations would broadcast anyway and the assertion would
+    // not guard the hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = PipelineOps.decontaminate(train, test)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "held-out shingle set must broadcast (the 100 TB posture)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("splitAssign: deterministic, buckets bounded, content-keyed " +
