@@ -106,6 +106,10 @@ object RollupJob {
           .map(r => (r.getLong(0), r.getLong(1),
             if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3).toHexString))
         io.appendLineage(conf.jobId, tierName, lin.toSeq)
+        // tier point count = the lineage rows' points summed — the former
+        // bucketStates.count() ran one more Spark job per tier to restate
+        // what the lineage aggregation already knows
+        val tierPoints = lin.map(_._2).sum
 
         val ordered = feats
           .withColumn("bs", unix_timestamp(col("bucket")))
@@ -118,22 +122,27 @@ object RollupJob {
             conf.chunkFeatures.map(c =>
               gorilla_encode(col(s"pts.$c")).as(s"${c}_gor")): _*)
         io.commit(s"$tierName-chunks", chunks, pending, conf.jobId)
-        results += TierResult(tierName, pending, bucketStates.count())
+        results += TierResult(tierName, pending, tierPoints)
       }
       if (fresh.isEmpty) results += TierResult(tierName, Nil, 0)
 
       // full bucket-state view of this tier for the next cascade:
-      // committed days from the manifest + freshly computed days
-      val committedStates = io.read(spark, tierName).map { df =>
-        df.where(!col("commit_bucket").isin(pending: _*))
-          .select(col("source"), col("bucket"), col("P"),
-            col("rows_in"), col("tokens_in"))
-      }
-      val freshStates = fresh.map(_.select(col("source"), col("bucket"),
-        col("P"), col("rows_in"), col("tokens_in")))
-      finer = (committedStates, freshStates) match {
-        case (Some(a), Some(b)) => Some(a.unionByName(b))
-        case (a, b) => a.orElse(b)
+      // committed days from the manifest + freshly computed days. Only
+      // built when a coarser tier will actually consume it — for the last
+      // tier it is dead work (a manifest resolve + per-snapshot parquet
+      // schema read per run)
+      if (tierName != conf.tiers.last._1) {
+        val committedStates = io.read(spark, tierName).map { df =>
+          df.where(!col("commit_bucket").isin(pending: _*))
+            .select(col("source"), col("bucket"), col("P"),
+              col("rows_in"), col("tokens_in"))
+        }
+        val freshStates = fresh.map(_.select(col("source"), col("bucket"),
+          col("P"), col("rows_in"), col("tokens_in")))
+        finer = (committedStates, freshStates) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
       }
     }
     // Retention. The cascade above guarantees coarser coverage only for

@@ -34,12 +34,24 @@ object AnnOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
 
+  // every ANN entry point reads its embedding frame several times (count /
+  // centroid collect / corpus side / broadcast query side) — persisted per
+  // call in the same bounded FIFO pattern as DedupOps' candidate caches
+  // (each call persists a FRESH frame: nothing is memoized across calls)
+  private val cached = new java.util.ArrayDeque[DataFrame]()
+  private def cacheReplacing(df: DataFrame): DataFrame = synchronized {
+    cached.addLast(df)
+    while (cached.size > 4) cached.pollFirst().unpersist(blocking = false)
+    df.persist()
+  }
+
   /** Exact top-k neighbours for the query subset (vec_id % queryMod == 0),
     * self-matches excluded; ties broken by ascending neighbour id. */
   def bruteForceTopK(emb: DataFrame, k: Int = 1, queryMod: Int = 50): DataFrame = {
-    val queries = emb.where(col("vec_id") % queryMod === 0)
+    val e = cacheReplacing(emb)
+    val queries = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val joined = emb.select(col("vec_id").as("nn_id"), col("v").as("nv"))
+    val joined = e.select(col("vec_id").as("nn_id"), col("v").as("nv"))
       .join(broadcast(queries), col("nn_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
       // zero-norm vectors yield NaN cosines; a NaN neighbour is
@@ -141,11 +153,12 @@ object AnnOps {
   def ivfTopKKmeans(emb: DataFrame, k: Int, nLists: Int = 16, nProbe: Int = 4,
                     queryMod: Int = 50, iters: Int = 10,
                     sampleCap: Int = 4096): DataFrame = {
-    val cents = kmeansCentroids(emb, nLists, iters, sampleCap)
+    val e = cacheReplacing(emb)
+    val cents = kmeansCentroids(e, nLists, iters, sampleCap)
     val cArr = array(cents.zipWithIndex.map { case (v, i) =>
       struct(lit(i.toLong).as("cid"), array(v.map(lit).toIndexedSeq: _*).as("cv"))
     }.toIndexedSeq: _*)
-    val cand = candidatesForCentroids(emb, cArr, nProbe, queryMod)
+    val cand = candidatesForCentroids(e, cArr, nProbe, queryMod)
     cand.groupBy(col("query_id"))
       .agg(graft.functions.bounded_sorted_collect(
         struct((-col("sim")).as("negsim"), col("nn_id"), col("sim")), k)
@@ -160,12 +173,13 @@ object AnnOps {
     * join). */
   private def ivfCandidates(emb: DataFrame, nLists: Int, nProbe: Int,
                             queryMod: Int): DataFrame = {
-    val n = emb.count()
+    val e = cacheReplacing(emb)
+    val n = e.count()
     val stride = math.max(n / nLists, 1L)
     // sort before limit: an unordered distributed limit is not stable
     // across partitioning changes, and the centroid set must be
     // reproducible for the DuckDB oracle
-    val centroids = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+    val centroids = e.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(nLists)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .collect()
@@ -173,7 +187,7 @@ object AnnOps {
     val cArr = array(cvs.map { case (cid, v) =>
       struct(lit(cid).as("cid"), array(v.map(lit).toIndexedSeq: _*).as("cv"))
     }.toIndexedSeq: _*)
-    candidatesForCentroids(emb, cArr, nProbe, queryMod)
+    candidatesForCentroids(e, cArr, nProbe, queryMod)
   }
 
   /** Candidate generation against a literal centroid array: assign the

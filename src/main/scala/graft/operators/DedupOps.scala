@@ -292,8 +292,10 @@ object DedupOps {
       graft.functions.HyperplaneBandSigExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
         hyperplanes.map(_.toSeq).toSeq, EmbBitsPerBand))
-    val sigs = e.select(col("vec_id"), col("v"),
-      posexplode(bandSig).as(Seq("band", "bucket")))
+    // both sides of the bucket self-join read this frame — persist it so
+    // the parquet scan + 32-plane signature kernel run once, not twice
+    val sigs = cacheReplacing(e.select(col("vec_id"), col("v"),
+      posexplode(bandSig).as(Seq("band", "bucket"))))
     val l = sigs.select(col("band"), col("bucket"),
       col("vec_id").as("id_a"), col("v").as("va"))
     val r = sigs.select(col("band"), col("bucket"),

@@ -311,8 +311,12 @@ object MediaCodecs {
           require(depth == 8 && (color == 0 || color == 2) && interlace == 0,
             s"unsupported PNG depth=$depth color=$color interlace=$interlace")
           channels = if (color == 0) 1 else 3
+          // overflow-free bound: (w*ch+1)*h can exceed Long range for
+          // in-range Int dims (w,h near 2^31, ch=3) and wrap NEGATIVE,
+          // sailing under the cap — divide instead of multiplying, so
+          // the comparison never leaves [0, Long.MaxValue]
           require(w > 0 && h > 0 &&
-            (w.toLong * channels + 1) * h <= MaxPngRasterBytes,
+            h.toLong <= MaxPngRasterBytes / (w.toLong * channels + 1),
             s"PNG dims out of bounds ${w}x$h ch=$channels")
         case "IDAT" =>
           require(w > 0, "IDAT before IHDR")
@@ -336,6 +340,16 @@ object MediaCodecs {
         require(n > 0 || inf.finished(),
           "truncated or unsupported IDAT stream")
         off += n
+      }
+      // the stream must be EXHAUSTED at exactly the declared raster: a
+      // payload inflating beyond it would otherwise silently decode from
+      // a prefix, contradicting the malformed => throw contract. A
+      // 1-byte probe settles it: more output = oversized; 0 without
+      // reaching finished = missing final block, equally malformed.
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        require(inf.inflate(probe) == 0 && inf.finished(),
+          "IDAT inflates beyond the declared raster")
       }
     } catch {
       case e: java.util.zip.DataFormatException =>

@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps {
 
+  // the prefix-sum stage reads its range-partitioned token frame three
+  // times (subtotals, the per-partition window, and the range sampling
+  // pass) — persisted, in the same bounded FIFO pattern as DedupOps'
+  // candidate caches, so repeated packSequences calls in one session keep
+  // storage bounded without yanking a frame a live plan still references
+  private val cached = new java.util.ArrayDeque[DataFrame]()
+  private def cacheReplacing(df: DataFrame): DataFrame = synchronized {
+    cached.addLast(df)
+    while (cached.size > 2) cached.pollFirst().unpersist(blocking = false)
+    df.persist()
+  }
+
   /** Concat-then-chunk sequence packing: per source, documents in
     * doc_id order are laid end to end and cut into bins of
     * `budgetTokens` whitespace tokens — bin = floor(tokens-before-me /
@@ -21,17 +33,56 @@ object PipelineOps {
     * document starting inside bin b counts wholly toward b, so a bin
     * can overrun the budget by less than its last document's length
     * (documents are not split; re-chunking to exact context length is
-    * the trainer's token-level concern). One window + one aggregation,
-    * both clustered by source — a single exchange, no driver state;
-    * at 100 TB the window's per-source sequential scan is the same
-    * order the pack output must respect, so no cheaper shape exists. */
+    * the trainer's token-level concern).
+    *
+    * Execution (r6): a DISTRIBUTED two-pass prefix sum. The r5 shape —
+    * `Window.partitionBy(source)` — shuffled every row of a source into
+    * ONE task for the running sum: with a handful of sources at 100 TB
+    * that is a single-task sort-and-scan of terabytes per source
+    * whatever the cluster size (the r5 verdict's one standing
+    * scale-killer). Instead:
+    *   1. range-repartition on (source, doc_id) — for a given source,
+    *      partition index order IS doc_id order, and partition count
+    *      follows spark.sql.shuffle.partitions / AQE (scale-adaptive,
+    *      not a constant);
+    *   2. per-(source, partition) token subtotals — one metadata-sized
+    *      row per (source, partition); their per-source running sum
+    *      (a window over THAT tiny frame) is each partition's starting
+    *      offset;
+    *   3. broadcast the offsets back and add them to a per-(source,
+    *      partition) running sum — a window whose partitions are
+    *      bounded by the range-partition size, so every task scans at
+    *      most one partition's rows.
+    * Same exact cum_before per row (offsets + within-partition prefix
+    * recompose the global per-source prefix because range partitions
+    * are doc_id-contiguous), so bins — and the q_pack_sequences oracle
+    * hash — are unchanged. spark_partition_id() is consistent across
+    * the offset and window subtrees because both read the same
+    * persisted frame. */
   def packSequences(docs: DataFrame, budgetTokens: Int): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    val toks = cacheReplacing(
+      docs.select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        .repartitionByRange(col("source"), col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    // per-source running sum over the per-(source, pid) subtotals: one
+    // row per partition — O(cluster partitions), metadata-sized at any
+    // corpus size, so this window is never a straggler
+    val wOff = Window.partitionBy("source").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    val offsets = toks.groupBy(col("source"), col("pid"))
+      .agg(sum(col("n_tok")).as("sub"))
+      .select(col("source"), col("pid"),
+        coalesce(sum(col("sub")).over(wOff), lit(0L)).as("part_offset"))
+    // within-partition running sum: window partitions are (source, pid)
+    // slices of one range partition — bounded size, full parallelism
+    val wIn = Window.partitionBy("source", "pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_in_part", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .withColumn("cum_before", col("cum_in_part") + col("part_offset"))
       // integral `div`, not floor(double division): long/long in Spark
       // casts through double, whose 53-bit mantissa would diverge from
       // the oracle's exact `//` once a source's cumulative tokens pass

@@ -76,6 +76,27 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
                                     doneCompact: Map[String, Set[Long]],
                                     maxId: Long, tailLines: Int)
 
+  /** Sum the exact row counts of every part file's parquet footer —
+    * what the commit records as `rows`, without re-scanning the data.
+    * An all-empty write (possible only without partitionBy: partitioned
+    * writes emit no files for empty partitions) sums to 0, matching the
+    * former count()-based emptiness decision row for row. */
+  private def countParquetRows(dir: Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = TableIO.hadoopConf
+    val s = Files.walk(dir)
+    val parts =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toVector
+      finally s.close()
+    parts.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private def deleteRec(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) {
       val s = Files.list(p)
@@ -408,14 +429,10 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
     Files.createDirectories(finalDir.getParent)
     val writer = if (partitionBy.nonEmpty) df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("overwrite").parquet(tmpDir.toString)
-    val hasData = {
-      val s = Files.walk(tmpDir)
-      try s.anyMatch(p => p.getFileName.toString.startsWith("part-"))
-      finally s.close()
-    }
-    val rows =
-      if (!hasData) 0L
-      else df.sparkSession.read.parquet(tmpDir.toString).count()
+    // exact row count from the written parquet FOOTERS (driver-side,
+    // O(files)) — the former spark.read(...).count() launched a full
+    // second Spark scan job per commit just to fill snapshot metadata
+    val rows = countParquetRows(tmpDir)
     val relDir = if (rows == 0L) {
       deleteRec(tmpDir)
       ""
@@ -565,6 +582,9 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
 }
 
 object TableIO {
+  // one Configuration for all footer reads — each instantiation reloads
+  // the XML default resources, which would tax every commit
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
   // JVM-wide commit monitors, one per canonical table root: same-JVM
   // writers serialize here BEFORE touching the (per-process) file lock
   private val rootMonitors =

@@ -178,6 +178,29 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodecs.decodePng(bomb))
     val truncated = good.take(good.length - 20)
     intercept[IllegalArgumentException](MediaCodecs.decodePng(truncated))
+    // Long-overflow dims with a VALID CRC: for w=h=Int.MaxValue, color=2,
+    // the multiplied bound (w*3+1)*h wraps NEGATIVE and sails under the
+    // cap — the division-form bound must reject with the IAE contract,
+    // not a ~2 GiB allocation attempt (ADVICE r5)
+    val rgbPng = MediaCodecs.encodePng(2, 2, 3, Array.fill(12)(1))
+    val wrapIhdr = rgbPng.slice(16, 29)
+    System.arraycopy(be32(Int.MaxValue), 0, wrapIhdr, 0, 4)
+    System.arraycopy(be32(Int.MaxValue), 0, wrapIhdr, 4, 4)
+    val wrapped = rgbPng.take(8) ++ chunk("IHDR", wrapIhdr) ++ rgbPng.drop(ihdrEnd)
+    intercept[IllegalArgumentException](MediaCodecs.decodePng(wrapped))
+    // IDAT inflating BEYOND the declared raster must throw, not decode a
+    // silent prefix (ADVICE r5): deflate raster-plus-junk under the 8x8 IHDR
+    val overRaw = new Array[Byte]((8 + 1) * 8 + 32)
+    val defl2 = new java.util.zip.Deflater()
+    defl2.setInput(overRaw); defl2.finish()
+    val bos2 = new java.io.ByteArrayOutputStream()
+    while (!defl2.finished()) bos2.write(tmp, 0, defl2.deflate(tmp))
+    defl2.end()
+    val overPng = good.take(ihdrEnd) ++ chunk("IDAT", bos2.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val overErr = intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(overPng))
+    assert(overErr.getMessage.contains("beyond the declared raster"))
     // and through the pipeline they land on the fallback row
     import spark.implicits._
     import graft.operators.MultimodalOps.Media

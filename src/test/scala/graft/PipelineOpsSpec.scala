@@ -55,6 +55,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == rows.size.toLong)
   }
 
+  test("packSequences: skew soak — one source dominating the corpus still " +
+    "matches the sequential reference (distributed prefix sum is exact)") {
+    import spark.implicits._
+    // hot source with 5000 docs vs two tiny cold ones, deterministically
+    // interleaved and spread over 16 input partitions so the range
+    // partitioner genuinely splits the hot source across several tasks —
+    // the regime where the r5 per-source single-task window serialized
+    val rows = ((0L until 5000L).map(i =>
+        (i * 3, ("tok " * (1 + (i % 17)).toInt).trim, "hot")) ++
+      (0L until 50L).map(i => (i * 3 + 1, "a b c", "cold1")) ++
+      (0L until 50L).map(i => (i * 3 + 2, "d e", "cold2")))
+      .sortBy(t => (t._1 * 2654435761L) % 101)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 16)).toDF("doc_id", "text", "source")
+    val budget = 64
+    val out = PipelineOps.packSequences(df, budget)
+      .orderBy("source", "bin")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = rows.groupBy(_._3).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      val binned = rs.sortBy(_._1).map { case (id, text, _) =>
+        val n = text.split("\\s+").length.toLong
+        val b = cum / budget
+        cum += n
+        (b, id, n)
+      }
+      binned.groupBy(_._1).map { case (b, g) =>
+        (src, b, g.size.toLong, g.map(_._3).sum,
+          g.map(_._2).min, g.map(_._2).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out == expected)
+  }
+
   test("decontaminate: planted shingle collision flagged, clean doc not; " +
     "held-out side broadcasts") {
     val train = docs(Seq(

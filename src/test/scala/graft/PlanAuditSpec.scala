@@ -86,6 +86,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges <= 2, s"tier plan shuffled $hashExchanges times:\n$p")
   }
 
+  test("sequence packing: the data-sized running sum is per-(source, " +
+    "range-partition), never a per-source single-task window") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("rangepartitioning(source"),
+      s"token rows must be range-partitioned on (source, doc_id):\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"partition offsets must broadcast back, not shuffle the data:\n$p")
+    // the doc_id-ordered (data-sized) window must be partitioned by
+    // (source, pid) — bounded per-task work at any corpus size
+    assert("""\], \[source#\d+, pid#\d+\], \[doc_id#""".r
+      .findFirstIn(p).isDefined,
+      s"running sum must window over (source, pid):\n$p")
+    // any Window partitioned by source ALONE may only scan the
+    // per-partition subtotals (ordered by pid) — a doc_id-ordered one
+    // would be the r5 scale-killer reintroduced
+    val soloSourceOrders = """\], \[source#\d+\], \[(\w+)#""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(soloSourceOrders.forall(_ == "pid"),
+      s"per-source window over data rows (order cols $soloSourceOrders):\n$p")
+  }
+
   test("raw-tier projection: column pruning reaches the parquet scan") {
     import org.apache.spark.sql.functions._
     val tokens = spark.read.parquet(s"$sfDir/events.parquet")
