@@ -97,19 +97,32 @@ object RollupJob {
       fresh.foreach { bucketStates =>
         val feats = TokenRollup.finalizeFeatures(bucketStates)
           .withColumn("commit_bucket", dayOf(col("bucket")))
-        io.commit(tierName, feats, pending, conf.jobId)
-        val lin = feats.groupBy(col("commit_bucket"))
-          .agg(count(lit(1)).as("points"), sum("tokens_in").as("tokens"),
-            sum(hash(col("source"), col("bucket"),
-              graft.functions.duckRound(col("mean"), 9)).cast("long")).as("chk"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1),
-            if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3).toHexString))
-        io.appendLineage(conf.jobId, tierName, lin.toSeq)
-        // tier point count = the lineage rows' points summed — the former
-        // bucketStates.count() ran one more Spark job per tier to restate
-        // what the lineage aggregation already knows
-        val tierPoints = lin.map(_._2).sum
+        // REBALANCE before the partitioned write (guide: output file
+        // sizing): without it every upstream task writes a sliver into
+        // every source dir — ~(tasks x sources) tiny files per snapshot,
+        // taxing each subsequent manifest read and footer pass. AQE sizes
+        // the rebalanced partitions (advisoryPartitionSizeInBytes), so
+        // locally this collapses to one file per source while at scale it
+        // yields size-targeted files — the Iceberg write.distribution-mode
+        // = hash behaviour, at the documented cost of one extra exchange
+        // of the (metadata-sized) tier output
+        io.commit(tierName, feats.hint("rebalance", "source"), pending,
+          conf.jobId)
+        // the lineage aggregation and the chunk build+commit are
+        // independent jobs over the same persisted bucket-states — run
+        // them concurrently so the chunk job's tasks back-fill executors
+        // the small lineage job leaves idle (Spark's scheduler runs
+        // driver-submitted jobs in parallel; actions are only sequential
+        // when the driver calls them sequentially)
+        val linF = scala.concurrent.Future {
+          feats.groupBy(col("commit_bucket"))
+            .agg(count(lit(1)).as("points"), sum("tokens_in").as("tokens"),
+              sum(hash(col("source"), col("bucket"),
+                graft.functions.duckRound(col("mean"), 9)).cast("long")).as("chk"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3).toHexString))
+        }(scala.concurrent.ExecutionContext.global)
 
         val ordered = feats
           .withColumn("bs", unix_timestamp(col("bucket")))
@@ -122,7 +135,13 @@ object RollupJob {
             conf.chunkFeatures.map(c =>
               gorilla_encode(col(s"pts.$c")).as(s"${c}_gor")): _*)
         io.commit(s"$tierName-chunks", chunks, pending, conf.jobId)
-        results += TierResult(tierName, pending, tierPoints)
+        val lin = scala.concurrent.Await.result(linF,
+          scala.concurrent.duration.Duration.Inf)
+        io.appendLineage(conf.jobId, tierName, lin.toSeq)
+        // tier point count = the lineage rows' points summed — the former
+        // bucketStates.count() ran one more Spark job per tier to restate
+        // what the lineage aggregation already knows
+        results += TierResult(tierName, pending, lin.map(_._2).sum)
       }
       if (fresh.isEmpty) results += TierResult(tierName, Nil, 0)
 

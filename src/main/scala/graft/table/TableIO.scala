@@ -89,7 +89,10 @@ final class TableIO(val root: String, val checkpointEvery: Int = 16) {
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith("part-")).toVector
       finally s.close()
-    parts.map { p =>
+    // footer opens cost ~ms each through the Hadoop layer — read them in
+    // parallel so a many-file snapshot (pre-rebalance layouts, wide
+    // writes) stays cheap
+    parts.asJava.parallelStream().mapToLong { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
