@@ -285,29 +285,39 @@ object DedupOps {
   }
 
   /** Embedding cosine near-dup: multi-band random-hyperplane LSH (any-band
-    * bucket equality => candidate), then exact cosine on candidates. */
+    * bucket equality => candidate), then exact cosine on candidates.
+    *
+    * Scale shape (r6, the minhash-candidates pattern applied here): the
+    * band-bucket self-join carries ONLY (band, bucket, vec_id) — never
+    * the dim-64 vectors. The r2-r5 shape computed the cosine before the
+    * pair groupBy, which kept the PAIR exchange narrow but still shipped
+    * every vector 8x (once per band copy) through the bucket join's
+    * exchange/broadcast — ~5x the unavoidable vector bytes at corpus
+    * scale. Now candidate pairs are deduplicated on 16-byte id pairs
+    * first and the vectors join back ONCE per DISTINCT pair; cosine is
+    * band-invariant, so one evaluation per pair equals the old per-copy
+    * max. Output identical (same pair set, same values). */
   def embeddingNearDup(emb: DataFrame, simThreshold: Double = 0.4): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = cacheReplacing(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
     val bandSig = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.HyperplaneBandSigExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("v")),
         hyperplanes.map(_.toSeq).toSeq, EmbBitsPerBand))
-    // both sides of the bucket self-join read this frame — persist it so
-    // the parquet scan + 32-plane signature kernel run once, not twice
-    val sigs = cacheReplacing(e.select(col("vec_id"), col("v"),
+    // both sides of the bucket self-join read the banded frame — persist
+    // it so the 32-plane signature kernel runs once, not twice
+    val banded = cacheReplacing(vecs.select(col("vec_id"),
       posexplode(bandSig).as(Seq("band", "bucket"))))
-    val l = sigs.select(col("band"), col("bucket"),
-      col("vec_id").as("id_a"), col("v").as("va"))
-    val r = sigs.select(col("band"), col("bucket"),
-      col("vec_id").as("id_b"), col("v").as("vb"))
-    // cosine is band-invariant, so compute it BEFORE the pair groupBy: the
-    // dedup exchange then carries 8 bytes per banded pair copy instead of
-    // two dim-64 vectors (~1 KB) — the r2 bench's slowest-query fix
-    l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+    val l = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         AnnOps.cosine(col("va"), col("vb")).as("cos_sim"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cos_sim")).as("cos_sim"))
       .where(col("cos_sim") >= simThreshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.duckRound(col("cos_sim"), 5).as("cos_sim"))

@@ -52,14 +52,24 @@ class PlanAuditSpec extends AnyFunSuite {
       .contains("sig"), "signatures must not ride the bucket exchange")
   }
 
-  test("embedding near-dup: cosine reduced before the pair exchange") {
+  test("embedding near-dup: vectors stay off the band-bucket exchange; " +
+    "pair dedup partial-aggregates; cosine once per distinct pair") {
     val p = plan("q_embed_near_dup")
-    assert(p.contains("partial_max"),
-      "pair groupBy must partial-aggregate the scalar cosine map-side")
-    // the full vectors must NOT survive into the pair aggregation keys
-    val aggIdx = p.indexOf("partial_max")
-    assert(aggIdx >= 0 && !p.substring(aggIdx, math.min(p.length, aggIdx + 400))
-      .contains("first(va"), "vectors must not ride the pair shuffle")
+    // pair dedup = keys-only hash aggregate (map-side partials included)
+    assert("""HashAggregate\(keys=\[id_a#\d+L?, id_b#\d+L?\], functions=\[\]""".r
+      .findFirstIn(p).isDefined,
+      s"distinct candidate pairs must partial-aggregate on the 16-byte ids:\n$p")
+    // no Project feeding the banded self-join may carry the vector column
+    // alongside band/bucket — at 100 TB that shipped every vector 8x
+    assert("""Project \[[^\]]*band#[^\]]*\bv#\d+""".r.findFirstIn(p).isEmpty &&
+      """Project \[[^\]]*\bv#\d+[^\]]*band#""".r.findFirstIn(p).isEmpty,
+      s"vectors must not ride the band-bucket exchange:\n$p")
+    // exact cosine evaluated per DISTINCT pair, never per band copy: at
+    // most 2 plan occurrences (the threshold Filter pushed below the
+    // Project re-states the expression — one extra evaluation per
+    // surviving pair), versus 8 per-copy evaluations pre-distinct
+    assert("graft_cosine".r.findAllMatchIn(p).size <= 2,
+      s"cosine must run per distinct pair, not per band copy:\n$p")
   }
 
   test("linear gap-fill: one Window serves both directional scans, " +
