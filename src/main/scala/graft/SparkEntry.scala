@@ -216,15 +216,26 @@ object SparkEntry {
         .withColumn("n_tok", size(col("tokens")))
         .write.mode("overwrite").parquet(src)
       val tag = System.nanoTime()
-      val out = graft.streaming.StreamingRollup.runOnce(s, src, "1 hour",
+      // the orderless tier and the stateful diff tier are INDEPENDENT
+      // streaming queries over the same staged source — start both, then
+      // await both, so their micro-batch schedules overlap instead of
+      // running back to back (each keeps its own checkpoint, state store
+      // and sink table; results are unchanged)
+      val qa = graft.streaming.StreamingRollup.startOnce(s, src, "1 hour",
         "1 minute", 1.0, "graft_stream_gate_" + tag)
+      val qd = graft.streaming.StreamingRollup.startOnceDiff(s, src, "1 hour",
+        "1 minute", 1.0, "graft_stream_diff_" + tag)
+      qa.awaitTermination()
+      qd.awaitTermination()
+      val out = s.table("graft_stream_gate_" + tag)
       // diff-family (line_length) from the STATEFUL streaming path: the
       // boundary bridge under incremental processing, exact vs the oracle.
-      // The fallback wrapper, not bare runOnceDiff: if a window ever
+      // The fallback wrapper, not bare collapse: if a window ever
       // overflows maxSegs here, its diff family must come from the batch
       // cascade rather than silently emitting the zeroed overflow row
-      val diff = graft.streaming.StreamingRollup.runOnceDiffWithBatchFallback(
-        s, src, "1 hour", "1 minute", 1.0, "graft_stream_diff_" + tag)
+      val diff = graft.streaming.StreamingRollup.diffWithBatchFallback(s,
+        graft.streaming.StreamingRollup.collapseDiff(s,
+          "graft_stream_diff_" + tag), src, "1 hour", 1.0)
         .select(col("source"), col("bucketS"),
           ((col("sumAbsD") / (col("n") - 1)) / 100.0).as("line_length"))
       out.select(col("source"),

@@ -42,17 +42,28 @@ object StreamingRollup {
         (col("mx") - col("mn")).as("ptp_amp"))
   }
 
-  /** Drive a bounded source synchronously into a memory sink (test/dev). */
-  def runOnce(spark: SparkSession, sourceDir: String, win: String,
-              watermark: String, scale: Double, queryName: String): DataFrame = {
+  /** Start the bounded-source tier into a memory sink without awaiting —
+    * callers running several INDEPENDENT streaming gates can start them
+    * all and await together, overlapping their micro-batch schedules
+    * (Spark runs concurrently-started streaming queries side by side;
+    * each keeps its own checkpoint + sink table). */
+  def startOnce(spark: SparkSession, sourceDir: String, win: String,
+                watermark: String, scale: Double,
+                queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = tier(stream, win, watermark, scale)
+    tier(stream, win, watermark, scale)
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+  }
+
+  /** Drive a bounded source synchronously into a memory sink (test/dev). */
+  def runOnce(spark: SparkSession, sourceDir: String, win: String,
+              watermark: String, scale: Double, queryName: String): DataFrame = {
+    startOnce(spark, sourceDir, win, watermark, scale, queryName)
+      .awaitTermination()
     spark.table(queryName)
   }
 
@@ -212,25 +223,39 @@ object StreamingRollup {
     out.result()
   }
 
-  /** Bounded-source synchronous run of the diff tier; emissions are
-    * deduplicated to the final (max rows_in) state per key. */
-  def runOnceDiff(spark: SparkSession, sourceDir: String, win: String,
-                  watermark: String, scale: Double, queryName: String,
-                  maxSegs: Int = 1 << 17): DataFrame = {
+  /** Start the diff tier into its memory sink without awaiting (see
+    * startOnce for the concurrent-gates rationale). */
+  def startOnceDiff(spark: SparkSession, sourceDir: String, win: String,
+                    watermark: String, scale: Double, queryName: String,
+                    maxSegs: Int = 1 << 17): org.apache.spark.sql.streaming.StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = diffTier(stream, win, watermark, scale, maxSegs)
+    diffTier(stream, win, watermark, scale, maxSegs)
       .writeStream.outputMode("update")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+  }
+
+  /** Collapse a finished diff run's Update-mode emission log to the final
+    * (max rows_in) state per key. */
+  def collapseDiff(spark: SparkSession, queryName: String): DataFrame = {
     val t = spark.table(queryName)
     val outCols = t.columns.filterNot(c => c == "source" || c == "bucketS")
     t.groupBy(col("source"), col("bucketS"))
       .agg(max_by(struct(outCols.map(col): _*), col("rows_in")).as("o"))
       .select(col("source") +: col("bucketS") +:
         outCols.map(c => col(s"o.$c").as(c)): _*)
+  }
+
+  /** Bounded-source synchronous run of the diff tier; emissions are
+    * deduplicated to the final (max rows_in) state per key. */
+  def runOnceDiff(spark: SparkSession, sourceDir: String, win: String,
+                  watermark: String, scale: Double, queryName: String,
+                  maxSegs: Int = 1 << 17): DataFrame = {
+    startOnceDiff(spark, sourceDir, win, watermark, scale, queryName, maxSegs)
+      .awaitTermination()
+    collapseDiff(spark, queryName)
   }
 
   /** Diff tier with automatic hot-window batch fallback: windows the
@@ -243,9 +268,16 @@ object StreamingRollup {
   def runOnceDiffWithBatchFallback(spark: SparkSession, sourceDir: String,
                                    win: String, watermark: String,
                                    scale: Double, queryName: String,
-                                   maxSegs: Int = 1 << 17): DataFrame = {
-    val streamed =
-      runOnceDiff(spark, sourceDir, win, watermark, scale, queryName, maxSegs)
+                                   maxSegs: Int = 1 << 17): DataFrame =
+    diffWithBatchFallback(spark,
+      runOnceDiff(spark, sourceDir, win, watermark, scale, queryName, maxSegs),
+      sourceDir, win, scale)
+
+  /** The overflow-union step alone, over an already-collapsed diff frame
+    * (callers that started the stream themselves — see startOnceDiff). */
+  def diffWithBatchFallback(spark: SparkSession, streamed: DataFrame,
+                            sourceDir: String, win: String,
+                            scale: Double): DataFrame = {
     val ok = streamed.where(!col("overflow")).drop("overflow")
     val overKeys = streamed.where(col("overflow"))
       .select(col("source"), col("bucketS"))
