@@ -225,8 +225,16 @@ object SparkEntry {
         "1 minute", 1.0, "graft_stream_gate_" + tag)
       val qd = graft.streaming.StreamingRollup.startOnceDiff(s, src, "1 hour",
         "1 minute", 1.0, "graft_stream_diff_" + tag)
-      qa.awaitTermination()
-      qd.awaitTermination()
+      try {
+        qa.awaitTermination()
+        qd.awaitTermination()
+      } catch {
+        case t: Throwable =>
+          // one stream failing must not leak the other still running over
+          // the staged dir (the next invocation deletes and rewrites it)
+          Seq(qa, qd).foreach(q => try q.stop() catch { case _: Throwable => () })
+          throw t
+      }
       val out = s.table("graft_stream_gate_" + tag)
       // diff-family (line_length) from the STATEFUL streaming path: the
       // boundary bridge under incremental processing, exact vs the oracle.

@@ -70,7 +70,7 @@ object RollupJob {
     // bucket-states of the previous (finer) tier covering ALL days
     var finer: Option[DataFrame] = None
 
-    conf.tiers.foreach { case (tierName, win) =>
+    conf.tiers.zipWithIndex.foreach { case ((tierName, win), tierIdx) =>
       // A day is done only when BOTH of its commits landed (features, then
       // chunks). A crash between the two leaves the day pending, so the
       // resume re-runs it — the feature re-commit is last-commit-wins on
@@ -106,14 +106,14 @@ object RollupJob {
         // yields size-targeted files — the Iceberg write.distribution-mode
         // = hash behaviour, at the documented cost of one extra exchange
         // of the (metadata-sized) tier output
-        io.commit(tierName, feats.hint("rebalance", "source"), pending,
-          conf.jobId)
-        // the lineage aggregation and the chunk build+commit are
-        // independent jobs over the same persisted bucket-states — run
-        // them concurrently so the chunk job's tasks back-fill executors
-        // the small lineage job leaves idle (Spark's scheduler runs
-        // driver-submitted jobs in parallel; actions are only sequential
-        // when the driver calls them sequentially)
+        // the lineage aggregation and the feature commit's write are
+        // independent jobs over the same persisted bucket-states — start
+        // the lineage collect FIRST so its tasks overlap the commit write
+        // (Spark runs driver-submitted jobs in parallel; actions are only
+        // sequential when the driver calls them sequentially). The append
+        // itself stays in the r5 order — after the feature commit, BEFORE
+        // the chunks commit — so a crash can at worst duplicate lineage on
+        // the re-run, never leave a done day without lineage rows.
         val linF = scala.concurrent.Future {
           feats.groupBy(col("commit_bucket"))
             .agg(count(lit(1)).as("points"), sum("tokens_in").as("tokens"),
@@ -123,6 +123,11 @@ object RollupJob {
             .map(r => (r.getLong(0), r.getLong(1),
               if (r.isNullAt(2)) 0L else r.getLong(2), r.getLong(3).toHexString))
         }(scala.concurrent.ExecutionContext.global)
+        io.commit(tierName, feats.hint("rebalance", "source"), pending,
+          conf.jobId)
+        val lin = scala.concurrent.Await.result(linF,
+          scala.concurrent.duration.Duration.Inf)
+        io.appendLineage(conf.jobId, tierName, lin.toSeq)
 
         val ordered = feats
           .withColumn("bs", unix_timestamp(col("bucket")))
@@ -135,9 +140,6 @@ object RollupJob {
             conf.chunkFeatures.map(c =>
               gorilla_encode(col(s"pts.$c")).as(s"${c}_gor")): _*)
         io.commit(s"$tierName-chunks", chunks, pending, conf.jobId)
-        val lin = scala.concurrent.Await.result(linF,
-          scala.concurrent.duration.Duration.Inf)
-        io.appendLineage(conf.jobId, tierName, lin.toSeq)
         // tier point count = the lineage rows' points summed — the former
         // bucketStates.count() ran one more Spark job per tier to restate
         // what the lineage aggregation already knows
@@ -149,8 +151,9 @@ object RollupJob {
       // committed days from the manifest + freshly computed days. Only
       // built when a coarser tier will actually consume it — for the last
       // tier it is dead work (a manifest resolve + per-snapshot parquet
-      // schema read per run)
-      if (tierName != conf.tiers.last._1) {
+      // schema read per run). Positional, not by name: a duplicated tier
+      // name must not skip an interior tier's view.
+      if (tierIdx != conf.tiers.size - 1) {
         val committedStates = io.read(spark, tierName).map { df =>
           df.where(!col("commit_bucket").isin(pending: _*))
             .select(col("source"), col("bucket"), col("P"),

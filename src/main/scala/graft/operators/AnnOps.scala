@@ -37,13 +37,9 @@ object AnnOps {
   // every ANN entry point reads its embedding frame several times (count /
   // centroid collect / corpus side / broadcast query side) — persisted per
   // call in the same bounded FIFO pattern as DedupOps' candidate caches
-  // (each call persists a FRESH frame: nothing is memoized across calls)
-  private val cached = new java.util.ArrayDeque[DataFrame]()
-  private def cacheReplacing(df: DataFrame): DataFrame = synchronized {
-    cached.addLast(df)
-    while (cached.size > 4) cached.pollFirst().unpersist(blocking = false)
-    df.persist()
-  }
+  // (each call persists a FRESH projection: nothing is memoized across
+  // calls, and a caller's own persistence level is never touched)
+  private val cacheReplacing = new OpCache(4)
 
   /** Exact top-k neighbours for the query subset (vec_id % queryMod == 0),
     * self-matches excluded; ties broken by ascending neighbour id. */

@@ -72,13 +72,8 @@ object DedupOps {
   // concurrently or interleaved each keep their cache alive; only caches
   // beyond the 4 most recent are dropped, so storage across a query
   // suite stays bounded without yanking a frame another plan still
-  // references.
-  private val cached = new java.util.ArrayDeque[DataFrame]()
-  private def cacheReplacing(df: DataFrame): DataFrame = synchronized {
-    cached.addLast(df)
-    while (cached.size > 4) cached.pollFirst().unpersist(blocking = false)
-    df.persist()
-  }
+  // references. (Shared implementation: OpCache.)
+  private val cacheReplacing = new OpCache(4)
 
   /** LSH candidate pairs with estimated Jaccard (fraction of agreeing
     * minhash slots), threshold-filtered. */
@@ -296,7 +291,11 @@ object DedupOps {
     * scale. Now candidate pairs are deduplicated on 16-byte id pairs
     * first and the vectors join back ONCE per DISTINCT pair; cosine is
     * band-invariant, so one evaluation per pair equals the old per-copy
-    * max. Output identical (same pair set, same values). */
+    * max. Output identical (same pair set, same values). Precondition,
+    * shared with every id-keyed operator here: vec_id is the embedding's
+    * identity and therefore unique — duplicate ids are upstream
+    * corruption (under duplicates the r2-r5 max-over-copies and this
+    * shape's per-copy join rows were BOTH ill-defined). */
   def embeddingNearDup(emb: DataFrame, simThreshold: Double = 0.4): DataFrame = {
     val vecs = cacheReplacing(
       emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))

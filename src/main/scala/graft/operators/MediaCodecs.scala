@@ -351,6 +351,11 @@ object MediaCodecs {
         require(inf.inflate(probe) == 0 && inf.finished(),
           "IDAT inflates beyond the declared raster")
       }
+      // ...and nothing may FOLLOW the zlib stream inside IDAT either — a
+      // payload with trailing junk after the stream end is just as
+      // malformed as one that inflates long
+      require(inf.getRemaining == 0,
+        "trailing bytes after the IDAT stream end")
     } catch {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(s"corrupt IDAT: ${e.getMessage}")

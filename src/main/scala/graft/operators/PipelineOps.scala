@@ -17,13 +17,11 @@ object PipelineOps {
   // times (subtotals, the per-partition window, and the range sampling
   // pass) — persisted, in the same bounded FIFO pattern as DedupOps'
   // candidate caches, so repeated packSequences calls in one session keep
-  // storage bounded without yanking a frame a live plan still references
-  private val cached = new java.util.ArrayDeque[DataFrame]()
-  private def cacheReplacing(df: DataFrame): DataFrame = synchronized {
-    cached.addLast(df)
-    while (cached.size > 2) cached.pollFirst().unpersist(blocking = false)
-    df.persist()
-  }
+  // storage bounded without yanking a frame a live plan still references.
+  // Eviction before evaluation stays correct: see OpCache — a cache-miss
+  // recompute replays the SAME plan over the same shuffle outputs, so the
+  // pid column the offsets join on is reproduced identically.
+  private val cacheReplacing = new OpCache(4)
 
   /** Concat-then-chunk sequence packing: per source, documents in
     * doc_id order are laid end to end and cut into bins of

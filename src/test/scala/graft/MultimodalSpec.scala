@@ -201,6 +201,20 @@ class MultimodalSpec extends AnyFunSuite {
     val overErr = intercept[IllegalArgumentException](
       MediaCodecs.decodePng(overPng))
     assert(overErr.getMessage.contains("beyond the declared raster"))
+    // junk AFTER the zlib stream end inside IDAT is equally malformed —
+    // must throw, not silently decode the valid prefix
+    val exactRaw = new Array[Byte]((8 + 1) * 8)
+    val defl3 = new java.util.zip.Deflater()
+    defl3.setInput(exactRaw); defl3.finish()
+    val bos3 = new java.io.ByteArrayOutputStream()
+    while (!defl3.finished()) bos3.write(tmp, 0, defl3.deflate(tmp))
+    defl3.end()
+    val trailPng = good.take(ihdrEnd) ++
+      chunk("IDAT", bos3.toByteArray ++ Array.fill(7)(0x5a.toByte)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val trailErr = intercept[IllegalArgumentException](
+      MediaCodecs.decodePng(trailPng))
+    assert(trailErr.getMessage.contains("trailing bytes"))
     // and through the pipeline they land on the fallback row
     import spark.implicits._
     import graft.operators.MultimodalOps.Media
